@@ -1,0 +1,53 @@
+package graft.core
+
+/** Closed-vocabulary lemma table — the deterministic replacement for the
+  * reference's NLTK POS-tag + WordNet lemmatizer (F16,
+  * `somenlp/feature_engineering/sentence_rep.py:40-46`).
+  *
+  * Per SURVEY.md §7.4(3): only lemmas of the closed trigger vocabulary matter
+  * — the ~12 verbs/nouns consumed by the contextual trigger rules
+  * (`candidate_rules.py:3-113`) plus the 17 headwords
+  * (`sentence_rep.py:22`). Everything else lemmatizes to its lowercase form.
+  */
+object Lemma {
+
+  /** Headwords checked as per-token indicator features (`sentence_rep.py:22`). */
+  val Headwords: Seq[String] = Seq(
+    "software", "package", "program", "tool", "toolbox", "web", "service",
+    "spreadsheet", "database", "registry", "data", "model", "algorithm",
+    "kit", "standard", "method", "procedure")
+
+  /** Inflected form → lemma, for the closed trigger vocabulary. */
+  val Table: Map[String, String] = {
+    def forms(lemma: String, infl: String*): Seq[(String, String)] =
+      (lemma +: infl).map(f => f -> lemma)
+    (forms("use", "uses", "used", "using", "usage") ++
+      forms("perform", "performs", "performed", "performing") ++
+      forms("be", "is", "are", "was", "were", "been", "being", "am") ++
+      forms("analysis", "analyses") ++
+      forms("analyze", "analyzes", "analyzed", "analyzing") ++
+      forms("analyse", "analyses2", "analysed", "analysing") ++ // "analyses" maps to analysis (noun) first
+      forms("with") ++
+      forms("statistical") ++
+      forms("develop", "develops", "developed", "developing") ++
+      forms("implement", "implements", "implemented", "implementing") ++
+      forms("create", "creates", "created", "creating") ++
+      forms("write", "writes", "wrote", "written", "writing") ++
+      forms("deposit", "deposits", "deposited") ++
+      forms("release", "releases", "released") ++
+      forms("download", "downloads", "downloaded") ++
+      forms("available") ++
+      forms("run", "runs", "ran", "running") ++
+      forms("compute", "computes", "computed", "computing") ++
+      Seq("softwares" -> "software") ++
+      Headwords.flatMap(h => Seq(h -> h, (h + "s") -> h))).toMap - "analyses2"
+  }
+
+  /** Lemma of a token: closed-table lookup on the lowercase form, identity
+    * (lowercased) otherwise. Deterministic, total.
+    */
+  def of(token: String): String = {
+    val lower = token.toLowerCase
+    Table.getOrElse(lower, lower)
+  }
+}

@@ -1,0 +1,269 @@
+package graft.ner
+
+import graft.core._
+import graft.dicts.Dicts
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic per-turn mention detection — the rebuild's replacement for
+  * the reference's learned taggers (SURVEY.md §2.10 M1-M4), per north_star:
+  * gazetteer + contextual feature scoring via broadcast dictionaries and
+  * mapPartitions-batched inference.
+  *
+  * Pipeline per turn (all pure, no cross-row state → embarrassingly
+  * parallel, zero shuffle):
+  *   1. W5 candidate spans of 1..6 tokens (`bin/custom_feature_gen:18`)
+  *   2. J4 gazetteer membership on the space-joined span
+  *      (`distant_supervision_rules.py:3-10`)
+  *   3. F15 contextual trigger rules on the closed lemma vocabulary
+  *      (`candidate_rules.py:3-113`)
+  *   4. span acceptance + greedy longest-match overlap resolution
+  *   5. three BIO layers (software / mention type / soft type) → W2 fix →
+  *      W3 merge (`bin/combine_annotations`) → W1 decode → typed mentions
+  *   6. attribute spans (Version/Citation/URL/Developer/License/Abbreviation)
+  *      from the token-class regexes of `sentence_rep.py:13-21` + rules
+  */
+object MentionDetector {
+
+  // Token-class regexes (sentence_rep.py:13-21), anchored like Python re.match+$
+  private val UrlRe = ("^(https?\\://[a-zA-Z0-9\\-\\.]+[\\w/\\._\\-\\:~\\?=#%]*[\\w/_\\-\\:~\\?=#%]" +
+    "|ftp\\://[a-zA-Z0-9\\-\\.]+[\\w/\\._\\-\\:~\\?=#%]*[\\w/_\\-\\:~\\?=#%]" +
+    "|www\\.[a-zA-Z0-9\\-\\.]+[\\w/\\._\\-\\:~\\?=#%]*" +
+    "|[a-zA-Z0-9\\-\\.]+\\.(org|edu)/[\\w/_\\-\\:~\\?=#%]*)$").r
+  private val CitationRe = "^\\[[0-9\\-,\\?]+\\]$".r
+  private val FloatNumRe = "^\\d+\\.\\d*$".r
+  private val VersionLikeRe = "^(\\d+\\.){2}\\w*$".r
+  private val LongVersionRe = "^(\\d+\\.){3,8}\\w*$".r
+  private val VPrefixedRe = "^[vV]\\d+(\\.\\d+)*$".r
+  private val DigitsRe = "^\\d+$".r
+  private val CitationNumRe = "^[0-9\\-,\\?]+$".r
+
+  private val MainSoftTypes = Set("Application", "PlugIn", "ProgrammingEnvironment", "OperatingSystem")
+  private val DeveloperMarkers = Set("inc.", "ltd.", "corp.", "apply", "inc", "ltd", "corp")
+  private val OpenBrackets = Set("(", "[", "{")
+  private val CloseBrackets = Set(")", "]", "}")
+
+  final private case class SoftSpan(
+      begTok: Int, endTok: Int, // token range, exclusive end
+      softType: String,
+      mentionType: String)
+
+  def versionLike(t: String): Boolean =
+    FloatNumRe.findFirstIn(t).isDefined || VersionLikeRe.findFirstIn(t).isDefined ||
+      LongVersionRe.findFirstIn(t).isDefined || VPrefixedRe.findFirstIn(t).isDefined ||
+      DigitsRe.findFirstIn(t).isDefined
+
+  /** Pure per-turn detection. Returns mention spans sorted by `beg`, with
+    * ids T1..Tn — the unit the Spark wrapper batches over partitions.
+    */
+  def detect(text: String, d: Dicts): Vector[Span] = {
+    val toks = Tok.tokens(text)
+    val n = toks.length
+    if (n == 0) return Vector.empty
+    val surfaces = toks.map(_.surface)
+    val lemmas = surfaces.map(Lemma.of)
+
+    // --- F15 trigger rules over lemma context -------------------------------
+    def leftLem(i: Int, k: Int): IndexedSeq[String] = lemmas.slice(math.max(i - k, 0), i)
+    def rightLem(i: Int, k: Int): IndexedSeq[String] = lemmas.slice(i, math.min(i + k, n))
+    /** Distinct trigger-rule FAMILIES firing for span [b,e). The reference
+      * counts each pan rule separately as a feature (A4); for the accept
+      * decision the nested left-context rules (pan_top_2 ⊂ 3 ⊂ 4) collapse
+      * into one family so they cannot self-corroborate.
+      */
+    def panCount(b: Int, e: Int): Int = {
+      var c = 0
+      if (leftLem(b, 1) == Seq("use") && rightLem(e, 1) == Seq("software")) c += 1 // pan_top_1
+      if (leftLem(b, 2) == Seq("perform", "use") ||
+        leftLem(b, 3) == Seq("be", "perform", "use") ||
+        leftLem(b, 4) == Seq("analysis", "be", "perform", "use")) c += 1 // pan_top_2/3/4 family
+      val l2 = leftLem(b, 2)
+      if (l2.length == 2 && (l2(0) == "analyze" || l2(0) == "analyse") && l2(1) == "use") c += 1 // pan_top_5
+      if (leftLem(b, 4) == Seq("analysis", "be", "perform", "with")) c += 1 // pan_top_6
+      if (rightLem(e, 2) == Seq("statistical", "software")) c += 1 // pan_top_7
+      if (rightLem(e, 3) == Seq("software", "be", "use")) c += 1 // pan_top_8
+      c
+    }
+    def inBrackets(b: Int, e: Int): Boolean =
+      b > 0 && e < n && OpenBrackets(surfaces(b - 1)) && CloseBrackets(surfaces(e))
+    def developerRule(b: Int, e: Int): Boolean =
+      b > 0 && e < n && surfaces(b - 1) == "(" && surfaces(e) == ")" &&
+        surfaces.slice(b, e).exists(t => DeveloperMarkers(t.toLowerCase))
+
+    // --- W5 candidate enumeration + acceptance ------------------------------
+    val accepted = Vector.newBuilder[(Int, Int, Array[Int], Int, Boolean)] // (b, e, srcIds, pan, strong)
+    val developerSpans = Vector.newBuilder[(Int, Int)]
+    var len = 1
+    while (len <= 6) {
+      var b = 0
+      while (b + len <= n) {
+        val e = b + len
+        val joined = surfaces.slice(b, e).mkString(" ")
+        if (joined.length != 1 && developerRule(b, e)) developerSpans += ((b, e))
+        val srcIds = d.inverted.getOrElse(joined, null)
+        val pan = panCount(b, e)
+        val strongHits = if (srcIds == null) 0 else srcIds.count(d.strongSources)
+        val weakHit = srcIds != null && srcIds.nonEmpty
+        val isSoftware = strongHits >= 1 || (weakHit && pan >= 1) || pan >= 2
+        if (isSoftware)
+          accepted += ((b, e, if (srcIds == null) Array.empty[Int] else srcIds, pan, strongHits >= 1))
+        b += 1
+      }
+      len += 1
+    }
+
+    // greedy overlap resolution: dictionary-backed spans beat rule-only
+    // spans, then longest match, then leftmost (token granularity)
+    val covered = new Array[Boolean](n)
+    var softSpans = accepted.result()
+      .sortBy { case (b, e, _, _, strong) => (if (strong) 0 else 1, -(e - b), b) }
+      .filter { case (b, e, _, _, _) =>
+        val free = (b until e).forall(i => !covered(i))
+        if (free) (b until e).foreach(covered(_) = true)
+        free
+      }
+      .map { case (b, e, srcIds, pan, _) =>
+        val softType = srcIds.iterator.flatMap(d.sourceType.get)
+          .find(MainSoftTypes).getOrElse("Application")
+        val mentionType =
+          if (pan >= 1) "Usage"
+          else {
+            val ctx = leftLem(b, 4) ++ rightLem(e, 4)
+            if (ctx.exists(Set("develop", "implement", "create", "write"))) "Creation"
+            else if (ctx.exists(Set("deposit", "release", "download", "available"))) "Deposition"
+            else if (leftLem(b, 4).contains("use") || rightLem(e, 4).contains("use") ||
+              leftLem(b, 4).contains("run") || leftLem(b, 4).contains("compute")) "Usage"
+            else "Mention"
+          }
+        SoftSpan(b, e, softType, mentionType)
+      }
+      .sortBy(_.begTok)
+
+    // "Full Name ( ABBR )" demotion: a single-token software span in
+    // brackets that is the acronym / DBpedia alt name of a preceding
+    // multi-token software span is an Abbreviation attribute, not a second
+    // software mention (SoMeSci pattern behind Abbreviation_of).
+    val demoted = Vector.newBuilder[(Int, Int)]
+    softSpans = softSpans.filter { s =>
+      val single = s.endTok - s.begTok == 1
+      val isDemotable = single && inBrackets(s.begTok, s.endTok) && {
+        val t = surfaces(s.begTok)
+        softSpans.exists { p =>
+          p.endTok <= s.begTok - 1 && (p.endTok - p.begTok) > 1 && {
+            val pToks = surfaces.slice(p.begTok, p.endTok)
+            val pSurface = text.substring(toks(p.begTok).beg, toks(p.endTok - 1).end)
+            Normalize.acronym(pToks).contains(t.toLowerCase) || d.altNames(pSurface).contains(t)
+          }
+        }
+      }
+      if (isDemotable) demoted += ((s.begTok, s.endTok))
+      !isDemotable
+    }
+
+    // --- three BIO layers → fix → merge → decode (W1-W3 in production) ------
+    val swTags = Array.fill(n)("O")
+    val mtTags = Array.fill(n)("O")
+    val stTags = Array.fill(n)("O")
+    for (s <- softSpans; i <- s.begTok until s.endTok) {
+      val p = if (i == s.begTok) "B-" else "I-"
+      swTags(i) = p + "Application"
+      mtTags(i) = p + s.mentionType
+      stTags(i) = p + s.softType
+    }
+    val merged = Bio.merge(
+      Bio.fix(swTags.toIndexedSeq, software = true),
+      Bio.fix(mtTags.toIndexedSeq, software = false),
+      Bio.fix(stTags.toIndexedSeq, software = false))
+    val softwareMentions = Bio.decode(text, merged.toIndexedSeq)
+
+    // --- attribute spans over uncovered tokens ------------------------------
+    val attrs = Vector.newBuilder[Span]
+    def free(i: Int): Boolean = !covered(i)
+    def claim(b: Int, e: Int): Unit = (b until e).foreach(covered(_) = true)
+    def spanOf(b: Int, e: Int, typ: String): Span =
+      Span(typ, toks(b).beg, toks(e - 1).end, text.substring(toks(b).beg, toks(e - 1).end))
+
+    // demoted "( ABBR )" spans become Abbreviation attributes (keep covered)
+    for ((b, e) <- demoted.result()) attrs += spanOf(b, e, "Abbreviation")
+
+    // Developer: parenthesized span containing inc./ltd./corp. (longest first)
+    for ((b, e) <- developerSpans.result().sortBy(t => (-(t._2 - t._1), t._1))
+         if (b until e).forall(free)) {
+      claim(b, e); attrs += spanOf(b, e, "Developer")
+    }
+    // License: exact dictionary surfaces, 1..3 tokens, longest first
+    for (l <- 3 to 1 by -1; b <- 0 to n - l) {
+      val e = b + l
+      if ((b until e).forall(free) && d.licenses(surfaces.slice(b, e).mkString(" "))) {
+        claim(b, e); attrs += spanOf(b, e, "License")
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val t = surfaces(i)
+      if (free(i)) {
+        if (CitationRe.findFirstIn(t).isDefined) {
+          claim(i, i + 1); attrs += spanOf(i, i + 1, "Citation")
+        } else if (t == "[" && i + 2 < n && free(i + 1) && free(i + 2) &&
+          CitationNumRe.findFirstIn(surfaces(i + 1)).isDefined && surfaces(i + 2) == "]") {
+          claim(i, i + 3); attrs += spanOf(i, i + 3, "Citation")
+        } else if (UrlRe.findFirstIn(Lemma.of(t)).isDefined) {
+          claim(i, i + 1); attrs += spanOf(i, i + 1, "URL")
+        }
+      }
+      i += 1
+    }
+    // Version: version-like token within 2 tokens after a software span,
+    // or directly after the lemma "version"
+    val softEnds = softSpans.map(_.endTok)
+    i = 0
+    while (i < n) {
+      if (free(i) && versionLike(surfaces(i))) {
+        val nearSoftware = softEnds.exists(e => i >= e && i - e <= 1)
+        val afterVersionWord = i > 0 && lemmas(i - 1) == "version"
+        if (nearSoftware || afterVersionWord) {
+          claim(i, i + 1); attrs += spanOf(i, i + 1, "Version")
+        }
+      }
+      i += 1
+    }
+    // Abbreviation: free all-caps token equal to a software span's acronym or
+    // a DBpedia alt name of its surface
+    val softSurfaces = softSpans.map(s => (surfaces.slice(s.begTok, s.endTok),
+      text.substring(toks(s.begTok).beg, toks(s.endTok - 1).end)))
+    i = 0
+    while (i < n) {
+      val t = surfaces(i)
+      if (free(i) && t.length >= 2 && t.forall(c => c.isUpper || c.isDigit) && t.exists(_.isLetter)) {
+        val isAbbr = softSurfaces.exists { case (spanToks, spanSurface) =>
+          Normalize.acronym(spanToks).contains(t.toLowerCase) ||
+            (d.altNames(spanSurface).contains(t) && spanSurface != t)
+        }
+        if (isAbbr) { claim(i, i + 1); attrs += spanOf(i, i + 1, "Abbreviation") }
+      }
+      i += 1
+    }
+
+    (softwareMentions ++ attrs.result()).sortBy(_.beg)
+  }
+
+  /** Spark wrapper: turns → mentions, batched per partition with the
+    * broadcast dictionary bundle (north_star: "mapPartitions-batched
+    * inference"). No shuffle; partitioning of the input is preserved.
+    */
+  def mentions(turns: Dataset[Turn], dicts: Broadcast[Dicts]): Dataset[Mention] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.mapPartitions { it =>
+      it.flatMap { t =>
+        val spans = detect(t.text, dicts.value)
+        spans.iterator.zipWithIndex.map { case (s, i) =>
+          Mention(t.conv_id, t.turn_idx, s"T${i + 1}", s.typ, s.beg, s.end, s.surface)
+        }
+      }
+    }
+  }
+
+  def mentions(spark: SparkSession, turns: Dataset[Turn], d: Dicts): Dataset[Mention] =
+    mentions(turns, Dicts.broadcast(spark, d))
+}

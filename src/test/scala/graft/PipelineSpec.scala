@@ -1,0 +1,255 @@
+package graft
+
+import graft.core._
+import graft.dicts.Dicts
+import graft.ed._
+import graft.ner.MentionDetector
+import graft.pipeline.{Pipeline, Transcripts}
+import graft.re.RelationExtractor
+import org.scalatest.funsuite.AnyFunSuite
+
+class MentionDetectorSpec extends AnyFunSuite {
+  private val d = Dicts.fixture
+
+  test("golden turn: Stata 13.1 software [ 30 ] — mention, version, citation") {
+    val text = "All analyses were performed using Stata 13.1 software [ 30 ] ."
+    val spans = MentionDetector.detect(text, d)
+    val byType = spans.groupBy(_.typ)
+    assert(byType("Application_Usage").map(_.surface) == Vector("Stata"))
+    assert(byType("Version").map(_.surface) == Vector("13.1"))
+    assert(byType("Citation").map(_.surface) == Vector("[ 30 ]"))
+    // char offsets point into the original text
+    val stata = byType("Application_Usage").head
+    assert(text.substring(stata.beg, stata.end) == "Stata")
+  }
+
+  test("developer in parens: Excel ( Microsoft Corp. , Redmond )") {
+    val text = "Data were entered into Excel ( Microsoft Corp. , Redmond ) for cleaning ."
+    val spans = MentionDetector.detect(text, d)
+    assert(spans.exists(s => s.typ.startsWith("Application") && s.surface == "Excel"))
+    val dev = spans.filter(_.typ == "Developer")
+    assert(dev.nonEmpty && dev.head.surface.contains("Microsoft Corp."))
+  }
+
+  test("longest gazetteer match wins: IBM SPSS Statistics over SPSS") {
+    val spans = MentionDetector.detect("We used IBM SPSS Statistics for this .", d)
+    assert(spans.count(_.typ.contains("_")) == 1)
+    assert(spans.head.surface == "IBM SPSS Statistics")
+  }
+
+  test("soft types from source dictionaries") {
+    val spans = MentionDetector.detect("Scripts run on Python under Windows .", d)
+    val m = spans.filter(_.typ.contains("_")).map(s => s.surface -> s.typ).toMap
+    assert(m("Python").startsWith("ProgrammingEnvironment"))
+    assert(m("Windows").startsWith("OperatingSystem"))
+  }
+
+  test("usage trigger rules fire without a gazetteer hit") {
+    // pan_top_4: 'analysis be perform use <>' — FooBar99 is not in any dict,
+    // pan_top_8 right context 'software be use' also matches
+    val spans = MentionDetector.detect("The analyses were performed using FooBar99 software and were used daily .", d)
+    assert(spans.exists(s => s.typ == "Application_Usage" && s.surface == "FooBar99"))
+  }
+
+  test("weak wiktionary hits need contextual support") {
+    val none = MentionDetector.detect("The data and the model were large .", d)
+    assert(!none.exists(_.typ.contains("_")))
+    val some = MentionDetector.detect("The analyses were performed using model .", d)
+    assert(some.exists(s => s.typ.contains("_") && s.surface == "model"))
+  }
+
+  test("abbreviation: all-caps acronym of a multi-token mention") {
+    val spans = MentionDetector.detect(
+      "We used the Statistical Package for the Social Sciences ( SPSS ) here .", d)
+    assert(spans.exists(s => s.typ.contains("_") &&
+      s.surface == "Statistical Package for the Social Sciences"))
+    assert(spans.exists(s => s.typ == "Abbreviation" && s.surface == "SPSS"))
+  }
+
+  test("URL and license detection") {
+    val spans = MentionDetector.detect(
+      "numpy is released under BSD at www.example.org/numpy for everyone .", d)
+    assert(spans.exists(_.typ == "License"))
+    assert(spans.exists(s => s.typ == "URL" && s.surface == "www.example.org/numpy"))
+  }
+}
+
+class RelationExtractorSpec extends AnyFunSuite {
+  private val d = Dicts.fixture
+
+  private def rels(text: String): Vector[(String, String, String)] = {
+    val spans = MentionDetector.detect(text, d)
+    RelationExtractor.classify(text, spans).map { case (s, p, o) => (s.surface, p, o.surface) }
+  }
+
+  test("golden: (13.1, Version_of, Stata) and ([ 30 ], Citation_of, Stata)") {
+    val r = rels("All analyses were performed using Stata 13.1 software [ 30 ] .")
+    assert(r.contains(("13.1", "Version_of", "Stata")))
+    assert(r.contains(("[ 30 ]", "Citation_of", "Stata")))
+    assert(r.size == 2)
+  }
+
+  test("attribute attaches to NEAREST main mention, ties prefer preceding") {
+    val r = rels("We used Stata 13.1 and MATLAB for the study .")
+    assert(r.contains(("13.1", "Version_of", "Stata")))
+    assert(!r.exists(t => t._1 == "13.1" && t._3 == "MATLAB"))
+  }
+
+  test("PlugIn_of via connective: EEGLAB toolbox for MATLAB") {
+    val r = rels("The preprocessing ran in MATLAB with the EEGLAB toolbox for MATLAB .")
+    assert(r.exists(t => t._1 == "EEGLAB toolbox" && t._2 == "PlugIn_of" && t._3 == "MATLAB"))
+  }
+
+  test("single-mention turns emit nothing (P3 gate)") {
+    assert(rels("We only used Stata here .").isEmpty)
+  }
+
+  test("fused and from-mentions paths agree") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val turns = Transcripts.fixture(spark)
+    val bc = Dicts.broadcast(spark, d)
+    val fused = RelationExtractor.relations(turns, bc).collect().toSet
+    val mentions = MentionDetector.mentions(turns, bc)
+    val viaCkpt = RelationExtractor.fromMentions(turns, mentions).collect().toSet
+    assert(fused == viaCkpt)
+    assert(fused.nonEmpty)
+  }
+}
+
+class EdSpec extends AnyFunSuite {
+  private val d = Dicts.fixture
+
+  private def sample(id: Long, mention: String, rels: Seq[RelInfo] = Nil) =
+    LinkingSample(id, "c", 0, 0, mention,
+      Normalize.removeSpaces(mention), Normalize.normalize(mention), "Application_Usage", rels)
+
+  test("24 features: identical strings are all-zero on string distances") {
+    val f = PairScorer.features(sample(1, "Stata"), sample(2, "Stata"), d)
+    assert(f(2) == 0.0 && f(3) == 0.0 && f(4) == 0.0 && f(5) == 0.0 && f(6) == 0.0)
+    assert(f(0) == 5.0 / 60.0)
+  }
+
+  test("case variants merge via normalized forms: Stata vs STATA") {
+    val dist = PairScorer.distance(sample(1, "Stata"), sample(2, "STATA"), d)
+    assert(dist <= PairScorer.Threshold, s"dist=$dist")
+  }
+
+  test("known abbreviation merges: SPSS vs Statistical Package for the Social Sciences") {
+    val dist = PairScorer.distance(
+      sample(1, "SPSS"), sample(2, "Statistical Package for the Social Sciences"), d)
+    assert(dist <= PairScorer.Threshold, s"dist=$dist")
+  }
+
+  test("distinct tools stay apart: Stata vs SPSS, Excel vs EEGLAB") {
+    assert(PairScorer.distance(sample(1, "Stata"), sample(2, "SPSS"), d) > PairScorer.Threshold)
+    assert(PairScorer.distance(sample(1, "Excel"), sample(2, "EEGLAB"), d) > PairScorer.Threshold)
+  }
+
+  test("given abbreviation evidence links") {
+    val a = sample(1, "SK-L", Seq(RelInfo("Abbreviation_of", "scikit-learn")))
+    val b = sample(2, "scikit-learn")
+    assert(PairScorer.distance(a, b, d) <= PairScorer.Threshold)
+  }
+
+  test("blocking keys put abbreviation pairs in a shared block") {
+    val a = sample(1, "SPSS")
+    val b = sample(2, "Statistical Package for the Social Sciences")
+    val ka = Blocking.keysFor(a, d).toSet
+    val kb = Blocking.keysFor(b, d).toSet
+    assert(ka.intersect(kb).nonEmpty, s"$ka vs $kb")
+  }
+
+  test("connected components equal naive union-find on random graphs") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = (1 to 40).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        Edge(math.min(a, b), math.max(a, b), 0.0)
+      }.filter(e => e.src != e.dst).distinct
+      // naive union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach(e => parent(find(e.src.toInt)) = find(e.dst.toInt))
+      val expected = (0 until n).groupBy(find).values.map(_.toSet).toSet
+      val vertices = spark.createDataset((0 until n).map(i => java.lang.Long.valueOf(i.toLong)))
+      val got = ConnectedComponents.run(vertices, spark.createDataset(edges))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._2).values.map(_.map(_._1.toInt).toSet).toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+}
+
+class PipelineSpec extends AnyFunSuite {
+  test("end-to-end golden fixture: triples + shared canonical ids") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val turns = Transcripts.fixture(spark)
+    val result = Pipeline.run(spark, turns, Dicts.fixture)
+
+    val triples = result.triples.collect()
+    def has(subj: String, pred: String, obj: String): Boolean =
+      triples.exists(t => t.subj == subj && t.pred == pred && t.obj == obj)
+
+    assert(has("13.1", "Version_of", "Stata"))
+    assert(has("[ 30 ]", "Citation_of", "Stata"))
+    assert(has("21.0", "Version_of", "SPSS"))
+    assert(has("EEGLAB toolbox", "PlugIn_of", "MATLAB"))
+    assert(has("version 5", "Version_of", "GraphPad Prism") || has("5", "Version_of", "GraphPad Prism"))
+
+    // canonicalization: Stata (c1) and STATA (c2) share a component
+    val canon = triples.filter(t => t.obj == "Stata" || t.obj == "STATA").map(_.obj_canonical).toSet
+    val stataTriples = result.samples.collect().filter(s => s.mention == "Stata" || s.mention == "STATA")
+    assert(stataTriples.length == 2)
+    val comps = result.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(stataTriples(0).sample_id) == comps(stataTriples(1).sample_id),
+      "Stata and STATA must share a canonical id")
+
+    // SPSS and the spelled-out name share a component
+    val spss = result.samples.collect()
+      .filter(s => s.mention == "SPSS" || s.mention == "Statistical Package for the Social Sciences")
+    assert(spss.length == 2)
+    assert(comps(spss(0).sample_id) == comps(spss(1).sample_id))
+
+    // distinct tools in distinct components
+    val bySurface = result.samples.collect().map(s => s.mention -> comps(s.sample_id)).toMap
+    assert(bySurface("MATLAB") != bySurface("Python"))
+  }
+
+  test("canonical dedup keeps one row per (subj_canonical, pred, obj_canonical)") {
+    val spark = SparkTestSession.spark
+    val turns = Transcripts.fixture(spark)
+    val result = Pipeline.run(spark, turns, Dicts.fixture)
+    val deduped = Pipeline.canonicalTriples(result.triples).collect()
+    val keys = deduped.map(t => (t.subj_canonical, t.pred, t.obj_canonical))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("P/R >= 0.95 gate vs golden expected triple set (A7 semantics)") {
+    val spark = SparkTestSession.spark
+    val turns = Transcripts.fixture(spark)
+    val got = Pipeline.run(spark, turns, Dicts.fixture).triples.collect()
+      .map(t => (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)).toSet
+    // the golden annotation of the fixture (FIXTURES.md §3)
+    val gold = Set(
+      ("c1", 1, "13.1", "Version_of", "Stata"),
+      ("c1", 1, "[ 30 ]", "Citation_of", "Stata"),
+      ("c1", 2, "Microsoft Corp. , Redmond", "Developer_of", "Excel"),
+      ("c1", 3, "IBM Corp.", "Developer_of", "SPSS"),
+      ("c1", 3, "21.0", "Version_of", "SPSS"),
+      ("c2", 0, "EEGLAB toolbox", "PlugIn_of", "MATLAB"),
+      ("c2", 2, "[ 12 ]", "Citation_of", "Statistical Package for the Social Sciences"),
+      ("c2", 3, "5", "Version_of", "GraphPad Prism"),
+      ("c2", 4, "3.8.2", "Version_of", "Python"),
+      ("c2", 4, "www.example.org/code", "URL_of", "Python"))
+    val tp = (got intersect gold).size.toDouble
+    val precision = if (got.isEmpty) 0.0 else tp / got.size
+    val recall = if (gold.isEmpty) 1.0 else tp / gold.size
+    assert(precision >= 0.95, s"precision=$precision got=${got -- gold}")
+    assert(recall >= 0.95, s"recall=$recall missing=${gold -- got}")
+  }
+}
