@@ -1,24 +1,107 @@
 package graft
+
+import graft.dicts.Dicts
+import graft.pipeline.{Pipeline, Transcripts}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver-run per round → BENCH_r{N}.json).
+  *
+  * Two sections, one JSON line:
+  *  - `queries`: wall-clock seconds of the headline operators over
+  *    SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS (default 32) threads.
+  *  - `scaling`: the north_rule two-cluster-size evidence, sandbox
+  *    methodology per BASELINE.md — the identical synthetic KG pipeline run
+  *    at local[8] and local[32] on the same input;
+  *    efficiency = (throughput32 / throughput8) / 4.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The scaling workload: full KG pipeline (NER → RE → ED → CC → triples)
+    * over deterministic synthetic transcripts. Returns processed turn count.
+    */
+  private def kgWorkload(spark: SparkSession, nConvs: Int, turnsPerConv: Int): Long = {
+    val turns = Transcripts.synthetic(spark, nConvs, turnsPerConv)
+    val r = Pipeline.run(spark, turns, Dicts.fixture)
+    r.triples.count()
+    nConvs.toLong * turnsPerConv
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toInt
+    val turnsPer = 10
+
+    // --- headline queries at full parallelism --------------------------------
+    val headline = Seq(
+      "kg_pipeline_testdata", "ner_mentions", "re_relations", "dedup_minhash",
+      "dedup_simhash", "ann_topk", "ann_lsh", "textq_quality", "g2_components",
+      "events_sessions", "tpch_pricing")
+    val qmap = SparkEntry.queries
+    val alias = Map(
+      "kg_pipeline_testdata" -> "q_kg_triples",
+      "ner_mentions" -> "q_ner_mentions",
+      "re_relations" -> "q_re_relations",
+      "dedup_minhash" -> "q_dedup_minhash",
+      "dedup_simhash" -> "q_dedup_simhash",
+      "ann_topk" -> "q_ann_topk",
+      "ann_lsh" -> "q_ann_lsh",
+      "textq_quality" -> "q_textq_quality",
+      "g2_components" -> "q_g2_components",
+      "events_sessions" -> "q_events_sessions",
+      "tpch_pricing" -> "q_tpch_pricing")
+
+    val spark1 = session(cpus)
+    spark1.range(10).count() // JVM/session warm-up
+    val queryTimes = headline.map { name =>
+      val fn = qmap(alias(name))
+      val sec = time(fn(spark1, sfDir).count())
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    // synthetic KG throughput at full parallelism (also the scaling numerator)
+    val turns = scaleConvs.toLong * turnsPer
+    val secFull = time(kgWorkload(spark1, scaleConvs, turnsPer))
+    spark1.stop()
+
+    // --- scaling: identical job at 8 threads ---------------------------------
+    val spark8 = session(8)
+    spark8.range(10).count()
+    val sec8 = time(kgWorkload(spark8, scaleConvs, turnsPer))
+    spark8.stop()
+
+    val tpFull = turns / secFull
+    val tp8 = turns / sec8
+    val efficiency = (tpFull / tp8) / (cpus.toDouble / 8.0)
+
+    val total = queryTimes.map(_._2).sum + secFull
+    val qs = (queryTimes :+ ("kg_synthetic_200k_turns" -> secFull))
+      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val scaling =
+      s"""{"turns":$turns,"cores_hi":$cpus,"cores_lo":8,""" +
+        s""""sec_hi":${f"$secFull%.3f"},"sec_lo":${f"$sec8%.3f"},""" +
+        s""""throughput_hi_turns_per_sec":${f"$tpFull%.1f"},""" +
+        s""""throughput_lo_turns_per_sec":${f"$tp8%.1f"},""" +
+        s""""efficiency":${f"$efficiency%.3f"}}"""
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

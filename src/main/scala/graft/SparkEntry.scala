@@ -1,13 +1,770 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Normalize, Turn}
+import graft.dicts.Dicts
+import graft.ed.ConnectedComponents
+import graft.ner.MentionDetector
+import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextQuality}
+import graft.pipeline.{Pipeline, Transcripts}
+import graft.re.RelationExtractor
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §7 + builder prompt): one `queries` entry per
+  * implemented operator family, with a DuckDB-runnable oracle in `oracleSql`
+  * wherever the semantics are ANSI-SQL-expressible. Queries run over the
+  * driver testdata at `sfDir`; the transcript table of the KG pipeline is
+  * DERIVED from `documents.parquet` by a transformation defined identically
+  * here and in SQL (Transcripts.fromDocuments / fromDocumentsSql) so both
+  * engines see byte-identical inputs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------------------------------------------------------------------------
+  // shared derivations
+  // ---------------------------------------------------------------------------
+
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
+
+  /** Augmented transcripts: every 4th document gets a trailing version
+    * mention so the RE/ED stages have verifiable work over the word-salad
+    * corpus. Mirrored 1:1 by [[turns2Sql]].
+    */
+  private def turns2(s: SparkSession, dir: String) = {
+    import s.implicits._
+    docs(s, dir).select(
+      concat(lit("c"), (col("doc_id") / 10).cast("long")).as("conv_id"),
+      (col("doc_id") % 10).cast("int").as("turn_idx"),
+      when(col("doc_id") % 3 === 0, "user")
+        .when(col("doc_id") % 3 === 1, "assistant").otherwise("tool").as("role"),
+      when(col("doc_id") % 4 === 0, concat(col("text"), lit(" version 2.1")))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 3 === 2, lit("search")).otherwise(lit(null).cast("string")).as("tool"),
+      expr("timestampadd(SECOND, doc_id, TIMESTAMP '2025-01-01 00:00:00')").as("ts"))
+      .as[Turn]
+  }
+
+  private val turns2Sql: String =
+    """SELECT 'c' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+      |       CAST(doc_id % 10 AS INT) AS turn_idx,
+      |       CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+      |       CASE WHEN doc_id % 4 = 0 THEN text || ' version 2.1' ELSE text END AS text,
+      |       CASE WHEN doc_id % 3 = 2 THEN 'search' ELSE NULL END AS tool,
+      |       TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts
+      |FROM documents""".stripMargin
+
+  private val softwareList = Dicts.TestdataSoftware
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+
+  /** Token table of the PLAIN derived transcripts, as SQL (0-based pos). */
+  private val tokensSql: String =
+    s"""tr AS (${Transcripts.fromDocumentsSql}),
+       |tok AS (
+       |  SELECT tr.conv_id, tr.turn_idx, tr.text,
+       |         unnest(string_split(tr.text, ' ')) AS token,
+       |         CAST(generate_subscripts(string_split(tr.text, ' '), 1) - 1 AS INT) AS pos
+       |  FROM tr)""".stripMargin
+
+  /** Engine-equivalent single-token gazetteer mentions of the plain
+    * transcripts, as SQL: char offsets reconstructed from token positions
+    * (single-space separation is a validated invariant of the corpus).
+    */
+  private val mentionsSql: String =
+    s"""$tokensSql,
+       |men AS (
+       |  SELECT conv_id, turn_idx, token AS surface, pos,
+       |         CAST(CASE WHEN pos = 0 THEN 0
+       |              ELSE length(array_to_string((string_split(text, ' '))[1:pos], ' ')) + 1
+       |         END AS INT) AS beg,
+       |         CAST(CASE WHEN pos = 0 THEN 0
+       |              ELSE length(array_to_string((string_split(text, ' '))[1:pos], ' ')) + 1
+       |         END + length(token) AS INT) AS "end"
+       |  FROM tok WHERE token IN (${sqlList(softwareList)}))""".stripMargin
+
+  private def mentionsDF(s: SparkSession, dir: String) =
+    MentionDetector.mentions(s, Transcripts.fromDocuments(s, dir), Dicts.testdata)
+
+  // ---------------------------------------------------------------------------
+  // contract
+  // ---------------------------------------------------------------------------
+
+  /** Flagship: full KG pipeline (NER → RE → ED → CC → triples) over the
+    * sf0.001 derived+augmented transcripts. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = turns2(spark, "/root/testdata/sf0.001")
+    Pipeline.run(spark, t, Dicts.testdata).triples
+      .orderBy("conv_id", "turn_idx", "subj", "pred", "obj").toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- S1/W6: source scan + stable turn ordering --------------------------
+    "q_s1_transcripts" -> ((s, dir) =>
+      Transcripts.fromDocuments(s, dir).orderBy("conv_id", "turn_idx").toDF()),
+
+    "q_w6_turn_order" -> ((s, dir) => {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      Transcripts.fromDocuments(s, dir).toDF()
+        .select(col("conv_id"), col("turn_idx"),
+          row_number().over(w).as("rn"), lag(col("text"), 1).over(w).as("prev_text"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // --- A1: first-seen vocabulary with dense ids ---------------------------
+    "q_a1_vocab" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      tok.groupBy("token")
+        .agg(min(col("doc_id") * 100000 + col("pos")).as("fs"))
+        .select(col("token"), row_number().over(Window.orderBy(col("fs"))).as("vid"))
+        .orderBy("vid")
+    }),
+
+    // --- J4/W5 + NER engine: gazetteer mentions with char offsets -----------
+    "q_ner_mentions" -> ((s, dir) =>
+      mentionsDF(s, dir).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("mention_id"), col("label"),
+          col("beg"), col("end"), col("surface"))
+        .orderBy("conv_id", "turn_idx", "beg")),
+
+    // --- RE engine: deterministic relation classification -------------------
+    "q_re_relations" -> ((s, dir) =>
+      RelationExtractor.relations(s, turns2(s, dir), Dicts.testdata).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("pred"),
+          col("subj_beg"), col("subj_surface"), col("obj_beg"), col("obj_surface"))
+        .orderBy("conv_id", "turn_idx", "subj_beg", "obj_beg")),
+
+    // --- full pipeline: triples (canonical ids checked rows-only separately) -
+    "q_kg_triples" -> ((s, dir) =>
+      Pipeline.run(s, turns2(s, dir), Dicts.testdata).triples.toDF()
+        .select(col("conv_id"), col("turn_idx"), col("subj"), col("pred"), col("obj"))
+        .orderBy("conv_id", "turn_idx", "subj", "pred", "obj")),
+
+    "q_kg_canonical" -> ((s, dir) => {
+      val r = Pipeline.run(s, turns2(s, dir), Dicts.testdata)
+      Pipeline.canonicalTriples(r.triples).toDF()
+        .orderBy("subj", "pred", "obj", "conv_id", "turn_idx")
+    }),
+
+    // --- A5: surface counts (hot-key aggregation) ---------------------------
+    "q_a5_surface_counts" -> ((s, dir) =>
+      mentionsDF(s, dir).toDF()
+        .groupBy(col("surface")).agg(count(lit(1)).as("cnt"))
+        .orderBy("surface")),
+
+    // --- O3/A6: deterministic ≤5 context cap per surface --------------------
+    "q_o3_context_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("surface"))
+        .orderBy(col("conv_id"), col("turn_idx"), col("beg"))
+      mentionsDF(s, dir).toDF()
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("surface"), col("conv_id"), col("turn_idx"), col("beg"), col("rn"))
+        .orderBy("surface", "rn")
+    }),
+
+    // --- G1: exact-surface pre-cluster / reduced sample overview ------------
+    "q_g1_precluster" -> ((s, dir) =>
+      mentionsDF(s, dir).toDF()
+        .groupBy(col("surface"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          min(struct(col("conv_id"), col("turn_idx"), col("beg"))).as("f"))
+        .select(col("surface").as("mention"), col("n_occurrences"),
+          col("f.conv_id").as("first_conv"), col("f.turn_idx").as("first_turn"),
+          col("f.beg").as("first_beg"))
+        .orderBy("mention")),
+
+    // --- J2/F18: ordered candidate pairs with geometry features -------------
+    "q_j2_pairs" -> ((s, dir) => {
+      val m = mentionsDF(s, dir).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("beg"), col("end"), col("surface"))
+      val a = m.as("a"); val b = m.as("b")
+      a.join(b, col("a.conv_id") === col("b.conv_id") &&
+          col("a.turn_idx") === col("b.turn_idx") && col("a.beg") =!= col("b.beg"))
+        .select(col("a.conv_id").as("conv_id"), col("a.turn_idx").as("turn_idx"),
+          col("a.surface").as("s1"), col("a.beg").as("b1"),
+          col("b.surface").as("s2"), col("b.beg").as("b2"),
+          (greatest(col("a.beg"), col("b.beg")) -
+            when(col("a.beg") < col("b.beg"), col("a.end")).otherwise(col("b.end"))).as("dist_abs"),
+          (col("b.beg") > col("a.beg")).as("entity_order"),
+          (col("a.end") - col("a.beg")).as("len1"),
+          (col("b.end") - col("b.beg")).as("len2"))
+        .orderBy("conv_id", "turn_idx", "b1", "b2")
+    }),
+
+    // --- G2: connected components vs recursive-CTE oracle -------------------
+    "q_g2_components" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id").as("id"),
+          element_at(split(col("text"), " "), 1).as("k1"),
+          element_at(split(col("text"), " "), -1).as("k2"))
+      def edgesOn(k: String) = d.as("a").join(d.as("b"),
+          col(s"a.$k") === col(s"b.$k") && col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"))
+      val edges = edgesOn("k1").union(edgesOn("k2")).distinct()
+        .select(col("src"), col("dst"), lit(0.0).as("dist")).as[graft.core.Edge]
+      val vertices = d.select(col("id").as[java.lang.Long])
+      ConnectedComponents.run(vertices, edges).orderBy("id")
+    }),
+
+    // --- P7/U6: resume anti-join ---------------------------------------------
+    "q_p7_resume" -> ((s, dir) => {
+      val done = events(s, dir).filter(col("event_type") === "error")
+        .select(col("user_id")).distinct()
+      docs(s, dir).join(done, col("doc_id") === col("user_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+    }),
+
+    // --- U1: union of corpora -------------------------------------------------
+    "q_u1_union" -> ((s, dir) => {
+      val a = docs(s, dir).filter(col("doc_id") < 300).select("doc_id")
+      val b = docs(s, dir).filter(col("doc_id") >= 200).select("doc_id")
+      a.union(b).distinct().orderBy("doc_id")
+    }),
+
+    // --- O6: deterministic ratio split ----------------------------------------
+    "q_o6_split" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          pmod(col("doc_id") * 2654435761L, lit(100)).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 60, "train").when(col("bucket") < 80, "valid").otherwise("test"))
+        .orderBy("doc_id")),
+
+    // --- A2: stable mode (first-max tie-break) --------------------------------
+    "q_a2_mode" -> ((s, dir) => {
+      val tok = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      val cnt = tok.groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("c"), min("pos").as("fp"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("fp").asc)
+      cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("mode_token"))
+        .orderBy("doc_id")
+    }),
+
+    // --- A7: P/R/F per class over span sets ------------------------------------
+    "q_a7_prf" -> ((s, dir) => {
+      val predList = Seq("spark", "hash", "sort", "scan")
+      val goldList = Seq("spark", "hash", "merge", "window")
+      val tok = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .withColumn("in_pred", col("token").isin(predList: _*) && col("pos") % 2 === 0)
+        .withColumn("in_gold", col("token").isin(goldList: _*))
+        .filter(col("in_pred") || col("in_gold"))
+      tok.groupBy(col("token").as("class"))
+        .agg(
+          sum(when(col("in_pred") && col("in_gold"), 1).otherwise(0)).as("tp"),
+          sum(when(col("in_pred") && !col("in_gold"), 1).otherwise(0)).as("fp"),
+          sum(when(!col("in_pred") && col("in_gold"), 1).otherwise(0)).as("fn"))
+        .withColumn("precision",
+          when(col("tp") + col("fp") > 0, round(col("tp") / (col("tp") + col("fp")), 4)).otherwise(0.0))
+        .withColumn("recall",
+          when(col("tp") + col("fn") > 0, round(col("tp") / (col("tp") + col("fn")), 4)).otherwise(0.0))
+        .orderBy("class")
+    }),
+
+    // --- F1/F2: normalization functions (engine Scala vs SQL oracle) ---------
+    "q_f1_normalize" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val snippet = t.substring(0, math.min(40, t.length))
+          (id, Normalize.normalize(snippet), Normalize.removeSpaces(snippet))
+        }
+        .toDF("doc_id", "norm", "glued")
+        .orderBy("doc_id")
+    }),
+
+    // --- F5/F6: string distances ------------------------------------------------
+    "q_f6_levenshtein" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet").filter(col("p_partkey") < 30)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      p.as("a").join(p.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          levenshtein(col("a.name"), col("b.name")).as("lev"),
+          round(levenshtein(col("a.name"), col("b.name")) /
+            greatest(length(col("a.name")), length(col("b.name"))).cast("double"), 4).as("norm_lev"))
+        .orderBy("id1", "id2")
+    }),
+
+    // --- F5: Jaro via native Catalyst Expression ---------------------------------
+    "q_f5_jaro" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val p = s.read.parquet(s"$dir/part.parquet").filter(col("p_partkey") < 30)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      p.as("a").join(p.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          round(graft.functions.GraftFunctions.jaro_sim(col("a.name"), col("b.name")), 6).as("jaro"))
+        .orderBy("id1", "id2")
+    }),
+
+    // --- A8: pair-level clustering evaluation -------------------------------------
+    "q_a8_pair_eval" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id"),
+          element_at(split(col("text"), " "), 1).as("k1"),
+          element_at(split(col("text"), " "), -1).as("k2"))
+      val pred = d.as("a").join(d.as("b"),
+          col("a.k1") === col("b.k1") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"))
+      val gold = d.as("a").join(d.as("b"),
+          col("a.k2") === col("b.k2") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"))
+      val both = pred.withColumn("p", lit(1))
+        .join(gold.withColumn("g", lit(1)), Seq("src", "dst"), "full")
+      both.agg(
+        sum(when(col("p").isNotNull && col("g").isNotNull, 1).otherwise(0)).as("tp"),
+        sum(when(col("p").isNotNull && col("g").isNull, 1).otherwise(0)).as("fp"),
+        sum(when(col("p").isNull && col("g").isNotNull, 1).otherwise(0)).as("fn"))
+        .withColumn("precision", round(col("tp") / (col("tp") + col("fp")), 4))
+        .withColumn("recall", round(col("tp") / (col("tp") + col("fn")), 4))
+    }),
+
+    // --- dedup family ------------------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).select(col("keeper"), col("n_copies")).orderBy("keeper")),
+
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardDupes(docs(s, dir), k = 3, threshold = 0.5)
+        .select(col("src"), col("dst"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("src", "dst")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDupes(docs(s, dir), k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .select(col("src"), col("dst"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("src", "dst")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashDupes(docs(s, dir), maxHamming = 8)
+        .select(col("src"), col("dst"), col("hamming"))
+        .orderBy("src", "dst")),
+
+    // --- similarity search --------------------------------------------------------
+    "q_ann_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      SimilaritySearch.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      SimilaritySearch.lshTopK(e, e.filter(col("vec_id") < 20), k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- text analysis -------------------------------------------------------------
+    "q_textq_stats" -> ((s, dir) => TextQuality.tokenStats(docs(s, dir)).orderBy("doc_id")),
+    "q_textq_quality" -> ((s, dir) => TextQuality.qualityScore(docs(s, dir)).orderBy("doc_id")),
+    "q_textq_langid" -> ((s, dir) => TextQuality.langId(docs(s, dir)).orderBy("doc_id")),
+    "q_textq_tokcount" -> ((s, dir) => TextQuality.tokenCount(docs(s, dir)).orderBy("doc_id")),
+    "q_textq_fingerprint" -> ((s, dir) => TextQuality.fingerprint(docs(s, dir)).orderBy("doc_id")),
+
+    // --- multimodal plumbing ---------------------------------------------------------
+    "q_mm_meta" -> ((s, dir) =>
+      Multimodal.meta(Multimodal.synthesizeBinary(docs(s, dir))).orderBy("doc_id")),
+    "q_mm_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.synthesizeBinary(docs(s, dir))).toDF()
+        .select(col("doc_id"), col("meta.width").as("width"), col("meta.height").as("height"),
+          col("luma_mean"), col("n_bytes"))
+        .orderBy("doc_id")),
+
+    // --- event-stream semantics (batch-equivalent; streaming parity in tests) --------
+    "q_events_window" -> ((s, dir) =>
+      events(s, dir)
+        .select((col("ts").cast("timestamp").cast("long") - pmod(col("ts").cast("timestamp").cast("long"), lit(300))).as("win_start"),
+          col("event_type"), col("value"))
+        .groupBy("win_start", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+        .orderBy("win_start", "event_type")),
+
+    "q_events_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("long") - col("prev_ts").cast("timestamp").cast("long") > 1800, 1).otherwise(0))
+        .withColumn("session_idx", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts").cast("timestamp").cast("long")).as("start_s"), max(col("ts").cast("timestamp").cast("long")).as("end_s"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // --- classic scan/agg/join (pushdown + broadcast demonstration) -------------------
+    "q_tpch_pricing" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_tpch_nation_revenue" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }))
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = {
+    val stops = sqlList(Normalize.StopwordsSorted)
+    val markers = sqlList(TextQuality.EnglishMarkers)
+    Map(
+      "q_s1_transcripts" ->
+        s"""WITH tr AS (${Transcripts.fromDocumentsSql})
+           |SELECT * FROM tr ORDER BY conv_id, turn_idx""".stripMargin,
+
+      "q_w6_turn_order" ->
+        s"""WITH tr AS (${Transcripts.fromDocumentsSql})
+           |SELECT conv_id, turn_idx,
+           |       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT) AS rn,
+           |       lag(text, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
+           |FROM tr ORDER BY conv_id, turn_idx""".stripMargin,
+
+      "q_a1_vocab" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+          |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+          |  FROM documents),
+          |fs AS (SELECT token, min(doc_id * 100000 + pos) AS fs FROM tok GROUP BY token)
+          |SELECT token, CAST(row_number() OVER (ORDER BY fs) AS INT) AS vid
+          |FROM fs ORDER BY vid""".stripMargin,
+
+      "q_ner_mentions" ->
+        s"""WITH $mentionsSql
+           |SELECT conv_id, turn_idx,
+           |       'T' || CAST(row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS VARCHAR) AS mention_id,
+           |       'Application_Mention' AS label, beg, "end", surface
+           |FROM men ORDER BY conv_id, turn_idx, beg""".stripMargin,
+
+      "q_re_relations" ->
+        s"""WITH t2 AS ($turns2Sql),
+           |tok AS (
+           |  SELECT t2.conv_id, t2.turn_idx, t2.text,
+           |         unnest(string_split(t2.text, ' ')) AS token,
+           |         CAST(generate_subscripts(string_split(t2.text, ' '), 1) - 1 AS INT) AS pos
+           |  FROM t2),
+           |men AS (
+           |  SELECT conv_id, turn_idx, text, token, pos,
+           |         CAST(CASE WHEN pos = 0 THEN 0
+           |              ELSE length(array_to_string((string_split(text, ' '))[1:pos], ' ')) + 1
+           |         END AS INT) AS beg
+           |  FROM tok WHERE token IN (${sqlList(softwareList)})),
+           |last_soft AS (
+           |  SELECT conv_id, turn_idx, max_by(token, pos) AS obj_surface, max(beg) AS obj_beg
+           |  FROM men GROUP BY conv_id, turn_idx)
+           |SELECT t2.conv_id, t2.turn_idx, 'Version_of' AS pred,
+           |       CAST(length(t2.text) - 3 AS INT) AS subj_beg, '2.1' AS subj_surface,
+           |       CAST(ls.obj_beg AS INT) AS obj_beg, ls.obj_surface
+           |FROM t2 JOIN last_soft ls
+           |  ON t2.conv_id = ls.conv_id AND t2.turn_idx = ls.turn_idx
+           |WHERE t2.text LIKE '% version 2.1'
+           |ORDER BY t2.conv_id, t2.turn_idx, subj_beg, obj_beg""".stripMargin,
+
+      "q_kg_triples" ->
+        s"""WITH t2 AS ($turns2Sql),
+           |tok AS (
+           |  SELECT t2.conv_id, t2.turn_idx, t2.text,
+           |         unnest(string_split(t2.text, ' ')) AS token,
+           |         CAST(generate_subscripts(string_split(t2.text, ' '), 1) - 1 AS INT) AS pos
+           |  FROM t2),
+           |men AS (
+           |  SELECT conv_id, turn_idx, token, pos FROM tok
+           |  WHERE token IN (${sqlList(softwareList)})),
+           |last_soft AS (
+           |  SELECT conv_id, turn_idx, max_by(token, pos) AS obj FROM men GROUP BY conv_id, turn_idx)
+           |SELECT t2.conv_id, t2.turn_idx, '2.1' AS subj, 'Version_of' AS pred, ls.obj
+           |FROM t2 JOIN last_soft ls
+           |  ON t2.conv_id = ls.conv_id AND t2.turn_idx = ls.turn_idx
+           |WHERE t2.text LIKE '% version 2.1'
+           |ORDER BY t2.conv_id, t2.turn_idx, subj, pred, obj""".stripMargin,
+
+      "q_a5_surface_counts" ->
+        s"""WITH $mentionsSql
+           |SELECT surface, count(*) AS cnt FROM men GROUP BY surface ORDER BY surface""".stripMargin,
+
+      "q_o3_context_cap" ->
+        s"""WITH $mentionsSql,
+           |r AS (SELECT surface, conv_id, turn_idx, beg,
+           |             CAST(row_number() OVER (PARTITION BY surface ORDER BY conv_id, turn_idx, beg) AS INT) AS rn
+           |      FROM men)
+           |SELECT surface, conv_id, turn_idx, beg, rn FROM r WHERE rn <= 5 ORDER BY surface, rn""".stripMargin,
+
+      "q_g1_precluster" ->
+        s"""WITH $mentionsSql
+           |, r AS (
+           |  SELECT surface, conv_id, turn_idx, beg,
+           |         row_number() OVER (PARTITION BY surface ORDER BY conv_id, turn_idx, beg) AS rn,
+           |         count(*) OVER (PARTITION BY surface) AS n
+           |  FROM men)
+           |SELECT surface AS mention, CAST(n AS BIGINT) AS n_occurrences,
+           |       conv_id AS first_conv, turn_idx AS first_turn, beg AS first_beg
+           |FROM r WHERE rn = 1 ORDER BY mention""".stripMargin,
+
+      "q_j2_pairs" ->
+        s"""WITH $mentionsSql
+           |SELECT a.conv_id, a.turn_idx, a.surface AS s1, a.beg AS b1, b.surface AS s2, b.beg AS b2,
+           |       CAST(greatest(a.beg, b.beg) -
+           |            CASE WHEN a.beg < b.beg THEN a."end" ELSE b."end" END AS INT) AS dist_abs,
+           |       b.beg > a.beg AS entity_order,
+           |       CAST(a."end" - a.beg AS INT) AS len1, CAST(b."end" - b.beg AS INT) AS len2
+           |FROM men a JOIN men b
+           |  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.beg != b.beg
+           |ORDER BY a.conv_id, a.turn_idx, b1, b2""".stripMargin,
+
+      "q_g2_components" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT doc_id AS id, (string_split(text, ' '))[1] AS k1, (string_split(text, ' '))[-1] AS k2
+          |  FROM documents WHERE doc_id < 120),
+          |e1 AS (SELECT a.id AS src, b.id AS dst FROM d a JOIN d b ON a.k1 = b.k1 AND a.id != b.id),
+          |e2 AS (SELECT a.id AS src, b.id AS dst FROM d a JOIN d b ON a.k2 = b.k2 AND a.id != b.id),
+          |edges AS (SELECT * FROM e1 UNION SELECT * FROM e2),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM d
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+          |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+      "q_p7_resume" ->
+        """SELECT d.doc_id, d.n_chars FROM documents d
+          |LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error') e
+          |  ON d.doc_id = e.user_id
+          |WHERE e.user_id IS NULL ORDER BY d.doc_id""".stripMargin,
+
+      "q_u1_union" ->
+        """SELECT doc_id FROM documents WHERE doc_id < 300
+          |UNION
+          |SELECT doc_id FROM documents WHERE doc_id >= 200 ORDER BY doc_id""".stripMargin,
+
+      "q_o6_split" ->
+        """SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+          |       CASE WHEN (doc_id * 2654435761) % 100 < 60 THEN 'train'
+          |            WHEN (doc_id * 2654435761) % 100 < 80 THEN 'valid' ELSE 'test' END AS split
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_a2_mode" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+          |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+          |  FROM documents WHERE doc_id < 200),
+          |cnt AS (SELECT doc_id, token, count(*) AS c, min(pos) AS fp FROM tok GROUP BY 1, 2),
+          |r AS (SELECT doc_id, token,
+          |             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, fp ASC) AS rn FROM cnt)
+          |SELECT doc_id, token AS mode_token FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      "q_a7_prf" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+          |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+          |  FROM documents),
+          |fl AS (
+          |  SELECT token,
+          |         token IN ('spark', 'hash', 'sort', 'scan') AND pos % 2 = 0 AS in_pred,
+          |         token IN ('spark', 'hash', 'merge', 'window') AS in_gold
+          |  FROM tok),
+          |f2 AS (SELECT * FROM fl WHERE in_pred OR in_gold)
+          |SELECT token AS class,
+          |       CAST(sum(CASE WHEN in_pred AND in_gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          |       CAST(sum(CASE WHEN in_pred AND NOT in_gold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          |       CAST(sum(CASE WHEN NOT in_pred AND in_gold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          |       CASE WHEN sum(CASE WHEN in_pred THEN 1 ELSE 0 END) > 0
+          |            THEN round(sum(CASE WHEN in_pred AND in_gold THEN 1 ELSE 0 END) * 1.0 /
+          |                       sum(CASE WHEN in_pred THEN 1 ELSE 0 END), 4) ELSE 0.0 END AS precision,
+          |       CASE WHEN sum(CASE WHEN in_gold THEN 1 ELSE 0 END) > 0
+          |            THEN round(sum(CASE WHEN in_pred AND in_gold THEN 1 ELSE 0 END) * 1.0 /
+          |                       sum(CASE WHEN in_gold THEN 1 ELSE 0 END), 4) ELSE 0.0 END AS recall
+          |FROM f2 GROUP BY token ORDER BY class""".stripMargin,
+
+      "q_f1_normalize" ->
+        s"""WITH base AS (SELECT doc_id, substr(text, 1, 40) AS snippet FROM documents),
+           |n1 AS (SELECT doc_id, snippet,
+           |              ltrim(rtrim(regexp_replace(lower(snippet), '[^0-9a-zA-Z]+', ' ', 'g'),
+           |                    '0123456789 ,.'), ' ') AS n0 FROM base),
+           |n2 AS (SELECT doc_id, snippet,
+           |              array_to_string(list_filter(string_split(n0, ' '),
+           |                t -> t != '' AND t NOT IN ($stops)), ' ') AS kept FROM n1)
+           |SELECT doc_id,
+           |       CASE WHEN kept = '' THEN snippet ELSE kept END AS norm,
+           |       regexp_replace(snippet, '\\s([+\\-#™_/\\d]+)\\s?', '\\1', 'g') AS glued
+           |FROM n2 ORDER BY doc_id""".stripMargin,
+
+      "q_f6_levenshtein" ->
+        """WITH p AS (SELECT p_partkey AS id, p_name AS name FROM part WHERE p_partkey < 30)
+          |SELECT a.id AS id1, b.id AS id2,
+          |       CAST(levenshtein(a.name, b.name) AS INT) AS lev,
+          |       round(levenshtein(a.name, b.name) * 1.0 /
+          |             greatest(length(a.name), length(b.name)), 4) AS norm_lev
+          |FROM p a JOIN p b ON a.id < b.id ORDER BY id1, id2""".stripMargin,
+
+      "q_f5_jaro" ->
+        """WITH p AS (SELECT p_partkey AS id, p_name AS name FROM part WHERE p_partkey < 30)
+          |SELECT a.id AS id1, b.id AS id2,
+          |       round(jaro_similarity(a.name, b.name), 6) AS jaro
+          |FROM p a JOIN p b ON a.id < b.id ORDER BY id1, id2""".stripMargin,
+
+      "q_a8_pair_eval" ->
+        """WITH d AS (
+          |  SELECT doc_id AS id, (string_split(text, ' '))[1] AS k1, (string_split(text, ' '))[-1] AS k2
+          |  FROM documents WHERE doc_id < 100),
+          |pred AS (SELECT a.id AS src, b.id AS dst FROM d a JOIN d b ON a.k1 = b.k1 AND a.id < b.id),
+          |gold AS (SELECT a.id AS src, b.id AS dst FROM d a JOIN d b ON a.k2 = b.k2 AND a.id < b.id),
+          |both AS (
+          |  SELECT coalesce(p.src, g.src) AS src, coalesce(p.dst, g.dst) AS dst,
+          |         p.src IS NOT NULL AS in_p, g.src IS NOT NULL AS in_g
+          |  FROM pred p FULL OUTER JOIN gold g ON p.src = g.src AND p.dst = g.dst)
+          |SELECT CAST(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          |       CAST(sum(CASE WHEN in_p AND NOT in_g THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          |       CAST(sum(CASE WHEN NOT in_p AND in_g THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          |       round(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END) * 1.0 /
+          |             sum(CASE WHEN in_p THEN 1 ELSE 0 END), 4) AS precision,
+          |       round(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END) * 1.0 /
+          |             sum(CASE WHEN in_g THEN 1 ELSE 0 END), 4) AS recall
+          |FROM both""".stripMargin,
+
+      "q_dedup_exact" ->
+        """SELECT min(doc_id) AS keeper, count(*) AS n_copies
+          |FROM documents GROUP BY text ORDER BY keeper""".stripMargin,
+
+      "q_dedup_ngram_jaccard" ->
+        """WITH sh0 AS (
+          |  SELECT doc_id, text,
+          |         unnest(range(1, greatest(len(string_split(text, ' ')) - 1, 1))) AS i
+          |  FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |         array_to_string((string_split(text, ' '))[i:i+2], ' ') AS shingle
+          |  FROM sh0),
+          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |blk AS (SELECT doc_id, n_chars // 50 AS block FROM documents),
+          |pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM blk a JOIN blk b
+          |          ON a.block = b.block AND a.doc_id < b.doc_id),
+          |common AS (
+          |  SELECT p.src, p.dst, count(*) AS common FROM pairs p
+          |  JOIN sh s1 ON s1.doc_id = p.src JOIN sh s2 ON s2.doc_id = p.dst AND s1.shingle = s2.shingle
+          |  GROUP BY p.src, p.dst)
+          |SELECT c.src, c.dst,
+          |       round(c.common * 1.0 / (ca.n + cb.n - c.common), 4) AS jaccard
+          |FROM common c JOIN cnt ca ON ca.doc_id = c.src JOIN cnt cb ON cb.doc_id = c.dst
+          |WHERE c.common * 1.0 / (ca.n + cb.n - c.common) >= 0.5
+          |ORDER BY src, dst""".stripMargin,
+
+      "q_ann_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+          |pairs AS (SELECT query_id, e.vec_id AS neighbor_id, qe, e.embedding AS ce
+          |          FROM q, embeddings e WHERE e.vec_id != query_id),
+          |dots AS (
+          |  SELECT query_id, neighbor_id,
+          |         sum(CAST(qe[i.x + 1] AS DOUBLE) * CAST(ce[i.x + 1] AS DOUBLE)) AS dot,
+          |         sum(CAST(qe[i.x + 1] AS DOUBLE) * CAST(qe[i.x + 1] AS DOUBLE)) AS qq,
+          |         sum(CAST(ce[i.x + 1] AS DOUBLE) * CAST(ce[i.x + 1] AS DOUBLE)) AS cc
+          |  FROM pairs, range(64) i(x) GROUP BY query_id, neighbor_id),
+          |sims AS (SELECT query_id, neighbor_id, round(dot / (sqrt(qq) * sqrt(cc)), 6) AS sim FROM dots),
+          |ranked AS (SELECT query_id, neighbor_id, sim,
+          |                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+          |           FROM sims)
+          |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin,
+
+      "q_textq_stats" ->
+        """SELECT doc_id,
+          |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+          |       CAST(length(text) AS INT) AS n_chars,
+          |       round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 /
+          |             len(string_split(text, ' ')), 4) AS avg_token_len,
+          |       round(len(list_distinct(string_split(text, ' '))) * 1.0 /
+          |             len(string_split(text, ' ')), 4) AS type_token_ratio
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_textq_quality" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         len(list_filter(string_split(text, ' '), x -> x IN ($markers))) * 1.0 /
+           |           len(string_split(text, ' ')) AS sr,
+           |         len(list_distinct(string_split(text, ' '))) * 1.0 /
+           |           len(string_split(text, ' ')) AS ttr,
+           |         CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END AS DOUBLE) AS lf
+           |  FROM documents)
+           |SELECT doc_id, round(sr, 4) AS stopword_ratio, round(ttr, 4) AS type_token_ratio,
+           |       lf AS length_factor,
+           |       round(least(sr * 4.0, 1.0) * 0.3 + ttr * 0.4 + lf * 0.3, 4) AS quality
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_textq_langid" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         len(list_filter(string_split(text, ' '), x -> x IN ($markers))) * 1.0 /
+           |           len(string_split(text, ' ')) AS r
+           |  FROM documents)
+           |SELECT doc_id, round(r, 4) AS marker_ratio,
+           |       CASE WHEN r >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_textq_tokcount" ->
+        """SELECT doc_id,
+          |       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+          |       CAST(list_sum(list_transform(string_split(text, ' '),
+          |            t -> CAST(ceil(length(t) / 6.0) AS BIGINT))) AS BIGINT) AS subword_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_mm_meta" ->
+        """SELECT doc_id,
+          |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+          |       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+          |       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+          |       3 AS channels, 'fake/raw' AS format
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_events_window" ->
+        """SELECT CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 300 AS win_start,
+          |       event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+      "q_events_sessions" ->
+        """WITH g AS (
+          |  SELECT user_id, ts, event_id,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |              OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+          |              THEN 1 ELSE 0 END AS new_sess
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (SELECT user_id, ts,
+          |             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+          |      FROM g)
+          |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+          |       min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_s, max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_s
+          |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+      "q_tpch_pricing" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+          |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+          |       count(*) AS n
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q_tpch_nation_revenue" ->
+        """SELECT n_name, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue,
+          |       count(*) AS n_orders
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
 }

@@ -38,29 +38,21 @@ object Dedup {
       explode(transform(
         filter(
           transform(sequence(lit(0), size(split(col("text"), " ")) - k),
-            i => slice(split(col("text"), " "), i + 1, k)),
+            i => slice(split(col("text"), " "), i + 1, lit(k))),
           a => size(a) === k),
         a => xxhash64(array_join(a, " ")))).as("shingle"))
       .distinct()
 
-  /** MinHash signature of `numHashes` permutations via the standard
-    * (a*x+b) mod p family, then banded for LSH: `numHashes = bands * rows`.
+  /** MinHash signature of `numHashes` independent permutations, each
+    * realized as `xxhash64(i, shingle)` (seeded re-hash — ANSI-safe, no
+    * overflow, codegen'd), then banded for LSH: `numHashes = bands * rows`.
     * Returns (doc_id, band, band_hash).
     */
   def minhashBands(sh: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val prime = 2305843009213693951L // 2^61-1
-    // deterministic coefficients from splitmix of the index
-    def mix(i: Long): Long = {
-      var x = i * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L
-      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 27
-      x * 0x94D049BB133111EBL
-    }
     val hashCols = (0 until numHashes).map { i =>
-      val a = math.abs(mix(2L * i)) % prime
-      val b = math.abs(mix(2L * i + 1)) % prime
-      min(pmod(col("shingle") * lit(a) + lit(b), lit(prime))).as(s"h$i")
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i")
     }
     val sigs = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
@@ -93,11 +85,6 @@ object Dedup {
   /** True n-gram Jaccard for given candidate (src,dst) pairs. */
   def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count("*").as("n"))
-    val inter = pairs
-      .join(sh.withColumnRenamed("doc_id", "src"), "src")
-      .join(sh.withColumnRenamed("doc_id", "dst").withColumnRenamed("shingle", "shingle2"),
-        col("dst") === col("dst") && col("shingle") === col("shingle2"))
-    // (join above would be wrong; implemented via two-sided shingle join below)
     val a = sh.select(col("doc_id").as("src"), col("shingle"))
     val b = sh.select(col("doc_id").as("dst"), col("shingle"))
     val common = pairs.join(a, "src").join(b, Seq("dst", "shingle"))
@@ -113,7 +100,8 @@ object Dedup {
     * verification path): block on a cheap key, exact Jaccard within block.
     */
   def ngramJaccardDupes(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
-      blockOn: DataFrame => DataFrame = d => d.withColumn("block", col("n_chars") / 50)): DataFrame = {
+      blockOn: DataFrame => DataFrame = d =>
+        d.withColumn("block", floor(col("n_chars") / 50).cast("long"))): DataFrame = {
     val blocked = blockOn(docs).select("doc_id", "block")
     val pairs = blocked.as("a").join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,166 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextQuality}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", 44L),
+    (1L, "the quick brown fox jumps over the lazy dog", 44L), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat", 44L), // near dup of 0
+    (3L, "completely different content about spark engines", 49L),
+    (4L, "another unrelated string of words entirely here", 48L),
+    (5L, "the quick brown fox jumps over the lazy dog", 44L) // exact dup of 0
+  ).toDF("doc_id", "text", "n_chars")
+
+  test("exact dedup groups identical texts, keeper = min doc_id") {
+    val r = Dedup.exact(docs).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(r.contains((0L, 3L))) // doc 0,1,5
+    assert(r.count(_._2 == 1L) == 3)
+  }
+
+  test("minhash LSH finds the near-dup pair and verifies with true jaccard") {
+    val r = Dedup.minhashDupes(docs, k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // 0-1, 0-5, 1-5 are identical (jaccard 1.0); 0-2 shares most shingles
+    assert(r.contains((0L, 1L)) && r.contains((0L, 5L)) && r.contains((1L, 5L)))
+    assert(r.contains((0L, 2L)), s"near-dup 0-2 missed: $r")
+    assert(!r.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash jaccard estimates true jaccard on identical docs") {
+    val j = Dedup.minhashDupes(docs, k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .filter($"src" === 0L && $"dst" === 1L).select("jaccard").collect()
+    assert(j.nonEmpty && j(0).getDouble(0) == 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0, unrelated docs far") {
+    val sig = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sig(0L) == sig(1L))
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(3L)) > 8)
+    val dupes = Dedup.simhashDupes(docs, maxHamming = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(dupes.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard within blocks") {
+    val r = Dedup.ngramJaccardDupes(docs, k = 3, threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.exists(t => t._1 == 0L && t._2 == 1L && t._3 == 1.0))
+  }
+}
+
+class SimilaritySearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  private lazy val emb = Seq(
+    (0L, vec(1, 0, 0, 0), 0),
+    (1L, vec(0.9, 0.1, 0, 0), 0), // close to 0
+    (2L, vec(0, 1, 0, 0), 1),
+    (3L, vec(0, 0.95, 0.05, 0), 1), // close to 2
+    (4L, vec(0, 0, 1, 0), 2),
+    (5L, vec(-1, 0, 0, 0), 3) // opposite of 0
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force topk: nearest neighbor of 0 is 1, farthest is 5") {
+    val r = SimilaritySearch.bruteForceTopK(emb, emb.filter($"vec_id" === 0L), k = 5)
+      .orderBy("rank").collect()
+    assert(r.head.getAs[Long]("neighbor_id") == 1L)
+    assert(r.last.getAs[Long]("neighbor_id") == 5L)
+    assert(r.head.getAs[Double]("sim") > 0.99)
+  }
+
+  test("rank is deterministic: ties broken by neighbor_id") {
+    val r1 = SimilaritySearch.bruteForceTopK(emb, emb, k = 3).collect().toSet
+    val r2 = SimilaritySearch.bruteForceTopK(emb.repartition(7), emb, k = 3).collect().toSet
+    assert(r1 == r2)
+  }
+
+  test("LSH signatures identical under repartitioning (determinism)") {
+    val s1 = SimilaritySearch.signatures(emb).select("vec_id", "sig").collect().toSet
+    val s2 = SimilaritySearch.signatures(emb.repartition(5)).select("vec_id", "sig").collect().toSet
+    assert(s1 == s2)
+  }
+
+  test("LSH finds the obvious near neighbor") {
+    val r = SimilaritySearch.lshTopK(emb, emb.filter($"vec_id" === 0L), k = 2,
+      nPlanes = 8, nBands = 4).collect()
+    assert(r.exists(_.getAs[Long]("neighbor_id") == 1L), r.mkString(","))
+  }
+}
+
+class TextQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat sat on the mat and the dog sat too"),
+    (1L, "zzz qqq xxx vvv kkk"),
+    (2L, "one two three four five six seven eight nine ten")
+  ).toDF("doc_id", "text")
+
+  test("token stats") {
+    val r = TextQuality.tokenStats(docs).filter($"doc_id" === 0L).collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 11)
+    assert(r.getAs[Int]("n_unique") == 8)
+  }
+
+  test("langid: english markers separate doc 0 from doc 1") {
+    val m = TextQuality.langId(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m(0L) == "en" && m(1L) == "und")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val d2 = Seq((0L, "cat the sat on the mat and the dog sat too")).toDF("doc_id", "text")
+    val f1 = TextQuality.fingerprint(docs).filter($"doc_id" === 0L).collect()(0).getLong(1)
+    val f1b = TextQuality.fingerprint(docs.repartition(3)).filter($"doc_id" === 0L).collect()(0).getLong(1)
+    val f2 = TextQuality.fingerprint(d2).collect()(0).getLong(1)
+    assert(f1 == f1b)
+    assert(f1 != f2)
+  }
+
+  test("subword token count: ceil(len/6) per token") {
+    val r = TextQuality.tokenCount(Seq((0L, "abcdefgh xy")).toDF("doc_id", "text")).collect()(0)
+    assert(r.getAs[Int]("ws_tokens") == 2)
+    assert(r.getAs[Long]("subword_tokens") == 3L) // ceil(8/6)=2 + ceil(2/6)=1
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq((0L, "hello world"), (1L, "x")).toDF("doc_id", "text")
+
+  test("binary plumbing: meta projection prunes the payload column") {
+    val media = Multimodal.synthesizeBinary(docs)
+    val m = Multimodal.meta(media)
+    val r = m.orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_bytes") == 11)
+    assert(r(1).getAs[Int]("n_bytes") == 1)
+  }
+
+  test("stub decode is deterministic and batch-shaped") {
+    val d = Multimodal.decodeFeatures(Multimodal.synthesizeBinary(docs))
+      .collect().map(x => x.doc_id -> x).toMap
+    assert(d(0L).n_bytes == 11L)
+    assert(d(0L).luma_mean > 0)
+    val d2 = Multimodal.decodeFeatures(Multimodal.synthesizeBinary(docs.repartition(3)))
+      .collect().map(x => x.doc_id -> x).toMap
+    assert(d == d2)
+  }
+
+  test("frame sample plan: every k-th byte offset") {
+    val p = Multimodal.frameSamplePlan(Multimodal.synthesizeBinary(docs), everyK = 5)
+      .filter($"doc_id" === 0L).orderBy("byte_offset")
+      .collect().map(_.getAs[Long]("byte_offset"))
+    assert(p.sameElements(Array(0L, 5L, 10L)))
+  }
+}
