@@ -613,11 +613,10 @@ object SparkEntry {
           |             greatest(length(a.name), length(b.name)), 4) AS norm_lev
           |FROM p a JOIN p b ON a.id < b.id ORDER BY id1, id2""".stripMargin,
 
-      "q_f5_jaro" ->
-        """WITH p AS (SELECT p_partkey AS id, p_name AS name FROM part WHERE p_partkey < 30)
-          |SELECT a.id AS id1, b.id AS id2,
-          |       round(jaro_similarity(a.name, b.name), 6) AS jaro
-          |FROM p a JOIN p b ON a.id < b.id ORDER BY id1, id2""".stripMargin,
+      // q_f5_jaro has NO oracle: DuckDB 1.0's jaro_similarity counts
+      // transpositions non-standardly on some inputs (e.g. 'small ring' vs
+      // 'old anvil' -> 0.6444 vs the standard 0.6167); the engine's Jaro is
+      // pinned against python-Levenshtein values in StringSimSpec instead.
 
       "q_a8_pair_eval" ->
         """WITH d AS (
@@ -625,7 +624,7 @@ object SparkEntry {
           |  FROM documents WHERE doc_id < 100),
           |pred AS (SELECT a.id AS src, b.id AS dst FROM d a JOIN d b ON a.k1 = b.k1 AND a.id < b.id),
           |gold AS (SELECT a.id AS src, b.id AS dst FROM d a JOIN d b ON a.k2 = b.k2 AND a.id < b.id),
-          |both AS (
+          |j AS (
           |  SELECT coalesce(p.src, g.src) AS src, coalesce(p.dst, g.dst) AS dst,
           |         p.src IS NOT NULL AS in_p, g.src IS NOT NULL AS in_g
           |  FROM pred p FULL OUTER JOIN gold g ON p.src = g.src AND p.dst = g.dst)
@@ -636,7 +635,7 @@ object SparkEntry {
           |             sum(CASE WHEN in_p THEN 1 ELSE 0 END), 4) AS precision,
           |       round(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END) * 1.0 /
           |             sum(CASE WHEN in_g THEN 1 ELSE 0 END), 4) AS recall
-          |FROM both""".stripMargin,
+          |FROM j""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT min(doc_id) AS keeper, count(*) AS n_copies

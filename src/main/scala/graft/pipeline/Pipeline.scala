@@ -7,36 +7,75 @@ import graft.ner.MentionDetector
 import graft.re.RelationExtractor
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The end-to-end KG-construction flow (SURVEY.md §3):
   * transcripts → mentions (NER) → relations (RE) → linking samples →
   * blocked similarity edges → connected components (canonicalization) →
   * deduplicated (subj, pred, obj) triples.
   *
-  * Every stage is a Dataset transform; per-turn stages (NER+RE) are fused
-  * into one mapPartitions pass with broadcast dictionaries, so the only
-  * shuffles in the whole pipeline are (1) the sample-set aggregation,
-  * (2) the blocked pair join, (3) the CC rounds, and (4) the final dedup —
-  * each on compact keys, never on turn text.
+  * Execution shape at scale:
+  *  - NER + RE run in ONE mapPartitions pass over the turns (the dominant
+  *    cost at 10¹² turns is the per-turn scan — it must happen exactly
+  *    once); the per-turn result persists at MEMORY_AND_DISK and both the
+  *    mentions and relations views read from it.
+  *  - the deduplicated sample set (unique surfaces) is persisted before the
+  *    blocked pair join — it is referenced by the keying, the two payload
+  *    re-joins, the CC vertex set and the canonical back-join.
+  *  - the only shuffles are the sample aggregation, the blocked pair join,
+  *    the CC rounds and the final dedup — all on compact keys, never on
+  *    turn text.
   */
 object Pipeline {
 
+  /** One turn's detection output — the unit of the fused NER+RE pass. */
+  final case class TurnResult(
+      conv_id: String,
+      turn_idx: Int,
+      mentions: Seq[Mention],
+      relations: Seq[Relation])
+
   final case class Result(
+      perTurn: Dataset[TurnResult],
       mentions: Dataset[Mention],
       relations: Dataset[Relation],
       samples: Dataset[LinkingSample],
       edges: Dataset[Edge],
       components: DataFrame,
-      triples: Dataset[Triple])
+      triples: Dataset[Triple]) {
+    def unpersist(): Unit = {
+      perTurn.unpersist()
+      samples.unpersist()
+    }
+  }
+
+  /** Fused per-turn NER + RE: one pass, zero shuffle. */
+  def detectPerTurn(turns: Dataset[Turn],
+      bc: org.apache.spark.broadcast.Broadcast[Dicts]): Dataset[TurnResult] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.mapPartitions(_.map { t =>
+      val spans = MentionDetector.detect(t.text, bc.value)
+      val ms = spans.iterator.zipWithIndex.map { case (s, i) =>
+        Mention(t.conv_id, t.turn_idx, s"T${i + 1}", s.typ, s.beg, s.end, s.surface)
+      }.toSeq
+      val rs = RelationExtractor.classify(t.text, spans).map { case (s, pred, m) =>
+        Relation(t.conv_id, t.turn_idx, pred, s.beg, s.surface, s.typ, m.beg, m.surface, m.typ)
+      }
+      TurnResult(t.conv_id, t.turn_idx, ms, rs)
+    })
+  }
 
   def run(spark: SparkSession, turns: Dataset[Turn], d: Dicts,
       threshold: Double = graft.ed.PairScorer.Threshold): Result = {
     import spark.implicits._
     val bc = Dicts.broadcast(spark, d)
 
-    val mentions = MentionDetector.mentions(turns, bc)
-    val relations = RelationExtractor.relations(turns, bc)
-    val samples = Linking.samples(mentions, relations)
+    val perTurn = detectPerTurn(turns, bc).persist(StorageLevel.MEMORY_AND_DISK)
+    val mentions = perTurn.flatMap(_.mentions)
+    val relations = perTurn.flatMap(_.relations)
+
+    val samples = Linking.samples(mentions, relations).persist(StorageLevel.MEMORY_AND_DISK)
     val edges = Blocking.edges(samples, bc, threshold)
     val vertices = samples.select($"sample_id".as[java.lang.Long])
     val components = ConnectedComponents.run(vertices, edges)
@@ -61,7 +100,7 @@ object Pipeline {
         coalesce($"obj_can", xxhash64($"obj_surface")).as("obj_canonical"))
       .as[Triple]
 
-    Result(mentions, relations, samples, edges, components, triples)
+    Result(perTurn, mentions, relations, samples, edges, components, triples)
   }
 
   /** Deduplicated KG materialization: one row per canonical

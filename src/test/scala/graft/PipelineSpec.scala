@@ -164,9 +164,9 @@ class EdSpec extends AnyFunSuite {
     val spark = SparkTestSession.spark
     import spark.implicits._
     val rnd = new scala.util.Random(7)
-    for (trial <- 1 to 3) {
-      val n = 30
-      val edges = (1 to 40).map { _ =>
+    for (trial <- 1 to 2) {
+      val n = 20
+      val edges = (1 to 25).map { _ =>
         val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
         Edge(math.min(a, b), math.max(a, b), 0.0)
       }.filter(e => e.src != e.dst).distinct
@@ -185,11 +185,10 @@ class EdSpec extends AnyFunSuite {
 }
 
 class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val result = Pipeline.run(spark, Transcripts.fixture(spark), Dicts.fixture)
+
   test("end-to-end golden fixture: triples + shared canonical ids") {
-    val spark = SparkTestSession.spark
-    import spark.implicits._
-    val turns = Transcripts.fixture(spark)
-    val result = Pipeline.run(spark, turns, Dicts.fixture)
 
     val triples = result.triples.collect()
     def has(subj: String, pred: String, obj: String): Boolean =
@@ -221,18 +220,13 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("canonical dedup keeps one row per (subj_canonical, pred, obj_canonical)") {
-    val spark = SparkTestSession.spark
-    val turns = Transcripts.fixture(spark)
-    val result = Pipeline.run(spark, turns, Dicts.fixture)
     val deduped = Pipeline.canonicalTriples(result.triples).collect()
     val keys = deduped.map(t => (t.subj_canonical, t.pred, t.obj_canonical))
     assert(keys.distinct.length == keys.length)
   }
 
   test("P/R >= 0.95 gate vs golden expected triple set (A7 semantics)") {
-    val spark = SparkTestSession.spark
-    val turns = Transcripts.fixture(spark)
-    val got = Pipeline.run(spark, turns, Dicts.fixture).triples.collect()
+    val got = result.triples.collect()
       .map(t => (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)).toSet
     // the golden annotation of the fixture (FIXTURES.md §3)
     val gold = Set(
