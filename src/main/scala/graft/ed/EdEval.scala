@@ -1,0 +1,96 @@
+package graft.ed
+
+import graft.core.{Edge, LinkingSample}
+import graft.dicts.Dicts
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** ED evaluation operators:
+  *
+  *  - G5 threshold sweep (`efficient_prediction.py:429-464`): re-cluster at
+  *    increasing thresholds and score pair-level linkage P/R/F against gold.
+  *    Each threshold is one `filter(dist ≤ t)` + connected components over
+  *    the SAME scored edge set — the expensive pair scoring runs once.
+  *  - A8 pair-level eval (`ed_main.py:52-117`): TP/FP/FN over all pairs of
+  *    evaluated samples, predicted-link = same component, gold-link = same
+  *    gold id.
+  *  - J8 new-vs-old compare join (`efficient_prediction.py:201-204`): edges
+  *    between two distinct sample sets, blocked exactly like the in-set join.
+  */
+object EdEval {
+
+  /** Pair-level linkage metrics of a component assignment vs gold links.
+    * `gold`: (sample_id, gold_id) — two samples are gold-linked iff equal
+    * gold_id. Pairs are restricted to gold-labeled samples (the reference
+    * evaluates only samples with an `eval` mark).
+    */
+  def pairMetrics(components: DataFrame, gold: DataFrame): DataFrame = {
+    val g = gold.select(col("sample_id").as("id"), col("gold_id"))
+      .join(components.select(col("id"), col("component")), "id")
+    val a = g.select(col("id").as("id_a"), col("gold_id").as("g_a"), col("component").as("c_a"))
+    val b = g.select(col("id").as("id_b"), col("gold_id").as("g_b"), col("component").as("c_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(
+        (col("c_a") === col("c_b")).as("pred"),
+        (col("g_a") === col("g_b")).as("gold"))
+      .agg(
+        sum(when(col("pred") && col("gold"), 1).otherwise(0)).as("tp"),
+        sum(when(col("pred") && !col("gold"), 1).otherwise(0)).as("fp"),
+        sum(when(!col("pred") && col("gold"), 1).otherwise(0)).as("fn"),
+        sum(when(!col("pred") && !col("gold"), 1).otherwise(0)).as("tn"))
+      .withColumn("precision", round(col("tp") / greatest(col("tp") + col("fp"), lit(1)), 4))
+      .withColumn("recall", round(col("tp") / greatest(col("tp") + col("fn"), lit(1)), 4))
+  }
+
+  /** G5 — score clustering quality at each threshold. Edges are scored ONCE
+    * at the max threshold; every sweep point reuses them.
+    */
+  def thresholdSweep(
+      samples: Dataset[LinkingSample],
+      scoredEdges: Dataset[Edge],
+      gold: DataFrame,
+      thresholds: Seq[Double]): Seq[(Double, DataFrame)] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val vertices = samples.select($"sample_id".as[java.lang.Long])
+    val cached = scoredEdges.persist()
+    cached.count()
+    thresholds.map { t =>
+      val comps = ConnectedComponents.run(vertices, cached.filter($"dist" <= t).as[Edge])
+      (t, pairMetrics(comps, gold))
+    }
+  }
+
+  /** J8 — blocked edges BETWEEN two sample sets (e.g. new crawl vs existing
+    * canonical entities): same blocking keys, pairs restricted to cross-set,
+    * same scorer and threshold.
+    */
+  def edgesBetween(
+      newSamples: Dataset[LinkingSample],
+      oldSamples: Dataset[LinkingSample],
+      dicts: Broadcast[Dicts],
+      threshold: Double = PairScorer.Threshold): Dataset[Edge] = {
+    val spark = newSamples.sparkSession
+    import spark.implicits._
+    val keyedNew = newSamples.flatMap(s => Blocking.keysFor(s, dicts.value).map(k => (k, s.sample_id)))
+      .toDF("key", "src")
+    val keyedOld = oldSamples.flatMap(s => Blocking.keysFor(s, dicts.value).map(k => (k, s.sample_id)))
+      .toDF("key", "dst")
+    val candidates = keyedNew.join(keyedOld, "key")
+      .select(col("src"), col("dst")).distinct()
+    val withPayload = candidates
+      .join(newSamples.toDF().as("sa"), col("src") === col("sa.sample_id"))
+      .join(oldSamples.toDF().as("sb"), col("dst") === col("sb.sample_id"))
+      .select(struct(col("sa.*")).as("a"), struct(col("sb.*")).as("b"))
+    val enc = org.apache.spark.sql.Encoders.product[(LinkingSample, LinkingSample)]
+    withPayload.as[(LinkingSample, LinkingSample)](enc)
+      .mapPartitions { it =>
+        val d = dicts.value
+        it.flatMap { case (sa, sb) =>
+          val dist = PairScorer.distance(sa, sb, d)
+          if (dist <= threshold) Iterator(Edge(sa.sample_id, sb.sample_id, dist)) else Iterator.empty
+        }
+      }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.core.{Edge, LinkingSample, Normalize}
+import graft.dicts.Dicts
+import graft.ed.{Blocking, ConnectedComponents, EdEval}
+import org.scalatest.funsuite.AnyFunSuite
+
+class EdEvalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def sample(id: Long, mention: String) =
+    LinkingSample(id, "c", 0, 0, mention,
+      Normalize.removeSpaces(mention), Normalize.normalize(mention), "Application_Usage", Nil)
+
+  test("pairMetrics: perfect clustering scores P=R=1") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "component")
+    val gold = Seq((1L, 10L), (2L, 10L), (3L, 30L)).toDF("sample_id", "gold_id")
+    val m = EdEval.pairMetrics(comps, gold).collect()(0)
+    assert(m.getAs[Double]("precision") == 1.0 && m.getAs[Double]("recall") == 1.0)
+    assert(m.getAs[Long]("tp") == 1L && m.getAs[Long]("tn") == 2L)
+  }
+
+  test("threshold sweep: recall grows with threshold") {
+    import spark.implicits._
+    val samples = spark.createDataset(Seq(
+      sample(1, "Stata"), sample(2, "STATA"), sample(3, "SPSS"),
+      sample(4, "Statistical Package for the Social Sciences")))
+    val bc = Dicts.broadcast(spark, Dicts.fixture)
+    val edges = Blocking.edges(samples, bc, threshold = 0.5)
+    val gold = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L)).toDF("sample_id", "gold_id")
+    val sweep = EdEval.thresholdSweep(samples, edges, gold, Seq(0.0, 0.13, 0.5))
+    val recalls = sweep.map { case (t, df) => t -> df.collect()(0).getAs[Double]("recall") }.toMap
+    assert(recalls(0.0) <= recalls(0.13))
+    assert(recalls(0.13) == 1.0, s"at the production threshold both gold pairs must link: $recalls")
+  }
+
+  test("J8 edgesBetween links new samples to old canonical set") {
+    import spark.implicits._
+    val newS = spark.createDataset(Seq(sample(10, "stata"), sample(11, "FooUnknown")))
+    val oldS = spark.createDataset(Seq(sample(1, "Stata"), sample(2, "SPSS")))
+    val bc = Dicts.broadcast(spark, Dicts.fixture)
+    val e = EdEval.edgesBetween(newS, oldS, bc).collect()
+    assert(e.exists(x => x.src == 10L && x.dst == 1L))
+    assert(!e.exists(x => x.src == 11L))
+  }
+}
