@@ -33,6 +33,23 @@ final case class Dicts(
     /** license-name surfaces (License attribute detection). */
     licenses: Set[String]) {
 
+  /** first token of a gazetteer entry → max token count of entries starting
+    * with it. Lets the detector skip building candidate-span strings whose
+    * first token can never match (the dominant case) — the J4 lookup then
+    * costs O(1) per span instead of an O(len) string build.
+    */
+  lazy val firstTokenMaxLen: Map[String, Int] = {
+    val m = scala.collection.mutable.Map.empty[String, Int]
+    inverted.keysIterator.foreach { surf =>
+      val sp = surf.indexOf(' ')
+      val first = if (sp < 0) surf else surf.substring(0, sp)
+      val n = surf.count(_ == ' ') + 1
+      val cur = m.getOrElse(first, 0)
+      if (n > cur) m(first) = n
+    }
+    m.toMap
+  }
+
   /** J5 two-hop alt-name expansion (`feature_calculator.py:368-382`):
     * the surface itself, plus unique_mapping[s], or else for each canonical
     * in label_mapping[s] the canonical and its unique_mapping entries.

@@ -3,7 +3,6 @@ package graft.ed
 import graft.core.{Component, Edge}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Dataset-native connected components — the replacement for the reference's
   * driver-side union-find over the ascending distance list (SURVEY.md §2.9
@@ -13,13 +12,21 @@ import org.apache.spark.storage.StorageLevel
   * the ascending sort + early termination of the reference is replaced by a
   * pre-filter.
   *
-  * Algorithm: iterated "hash-min" label propagation (the dataframe form of
-  * large-star; cf. Kiveris et al., "Connected Components in MapReduce and
-  * Beyond", SoCC'14). Each vertex repeatedly adopts the minimum label in its
-  * closed neighborhood; converges in O(diameter) rounds — tiny here because
-  * similarity clusters are shallow. Each round is two shuffles on compact
-  * (long,long) rows; the frontier is checkpointed via persist + count to
-  * keep lineage flat (north_rule: CC must tolerate multi-round iteration).
+  * Algorithm: min-label propagation with POINTER DOUBLING and EDGE
+  * CONTRACTION per round (the dataframe form of large-star/small-star;
+  * cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14):
+  *   1. every vertex takes the min label in its closed neighborhood
+  *   2. labels shortcut through themselves twice (comp := comp(comp)) —
+  *      chains halve, so convergence is O(log n) rounds, not O(diameter)
+  *   3. edges are remapped to (comp(src), comp(dst)), self-loops dropped —
+  *      the working graph contracts toward empty, so later rounds are cheap
+  *   4. every round's outputs are localCheckpoint'ed: the logical plan stays
+  *      flat instead of growing with the iteration count (lineage blowup is
+  *      the classic failure of iterative DataFrame jobs — SURVEY §7.4.4)
+  *
+  * Termination: the contracted edge set is empty ⇔ every component has
+  * collapsed onto its minimum id.
   */
 object ConnectedComponents {
 
@@ -27,39 +34,47 @@ object ConnectedComponents {
     * @param edges undirected similarity edges
     * @return (id, component) where component = min id reachable
     */
-  def run(vertices: Dataset[java.lang.Long], edges: Dataset[Edge], maxIter: Int = 50): DataFrame = {
+  def run(vertices: Dataset[java.lang.Long], edges: Dataset[Edge], maxIter: Int = 35): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
 
-    // symmetrize once; self-loops are harmless but dropped for size
-    val sym = edges.select($"src", $"dst")
+    var labels = vertices.toDF("id").withColumn("component", $"id").localCheckpoint(true)
+
+    var g = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    var labels = vertices.toDF("id").withColumn("component", $"id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+      .localCheckpoint(true)
 
     var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      // candidate label per vertex = min(own, min over neighbors' labels)
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(sym("src").as("id"))
-        .agg(min($"component").as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+    while (iter < maxIter && !g.isEmpty) {
+      // (1) min over closed neighborhood. g's endpoints are component ids of
+      // the previous round, so the join key is "component", not "id".
+      val nbrMin = g.groupBy($"src".as("component")).agg(min($"dst").as("nbr"))
+      val l1 = labels.join(nbrMin, Seq("component"), "left")
         .select($"id", least($"component", coalesce($"nbr", $"component")).as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter($"component" =!= $"old").limit(1).count()
-      labels.unpersist(false)
-      labels = next
-      converged = changed == 0
+
+      // (2) pointer doubling: comp := comp(comp) — components are vertex ids
+      // themselves, so re-resolve through the freshly computed labels
+      val byId = l1.select($"id".as("pid"), $"component".as("pcomp"))
+      val l2 = l1.join(byId, l1("component") === byId("pid"), "left")
+        .select(l1("id"), least(l1("component"), coalesce($"pcomp", l1("component"))).as("component"))
+        .localCheckpoint(true)
+
+      // (3) contract the graph onto current component ids
+      val m = l2.select($"id", $"component")
+      val g1 = g
+        .join(m.withColumnRenamed("id", "src").withColumnRenamed("component", "csrc"), Seq("src"))
+        .join(m.withColumnRenamed("id", "dst").withColumnRenamed("component", "cdst"), Seq("dst"))
+        .select($"csrc".as("src"), $"cdst".as("dst"))
+        .filter($"src" =!= $"dst")
+      // g was symmetric and contraction maps both directions, so g1 is
+      // still symmetric — dedup is enough
+      g = g1.distinct().localCheckpoint(true)
+
+      labels = l2
       iter += 1
     }
-    sym.unpersist(false)
     labels
   }
 

@@ -70,18 +70,37 @@ object MentionDetector {
       * counts each pan rule separately as a feature (A4); for the accept
       * decision the nested left-context rules (pan_top_2 ⊂ 3 ⊂ 4) collapse
       * into one family so they cannot self-corroborate.
+      *
+      * All families depend only on b (left context) or e (right context), so
+      * they precompute in O(n) and panCount is O(1) per span — the candidate
+      * loop visits 6n spans, so this must not allocate.
       */
+    def lem(i: Int): String = lemmas(i)
+    val leftUse = Array.tabulate(n + 1)(b => b >= 1 && lem(b - 1) == "use")
+    val famB = Array.tabulate(n + 1) { b =>
+      (b >= 2 && lem(b - 2) == "perform" && lem(b - 1) == "use") || // pan_top_2
+        (b >= 3 && lem(b - 3) == "be" && lem(b - 2) == "perform" && lem(b - 1) == "use") || // pan_top_3
+        (b >= 4 && lem(b - 4) == "analysis" && lem(b - 3) == "be" &&
+          lem(b - 2) == "perform" && lem(b - 1) == "use") // pan_top_4
+    }
+    val pan5 = Array.tabulate(n + 1)(b =>
+      b >= 2 && (lem(b - 2) == "analyze" || lem(b - 2) == "analyse") && lem(b - 1) == "use")
+    val pan6 = Array.tabulate(n + 1)(b =>
+      b >= 4 && lem(b - 4) == "analysis" && lem(b - 3) == "be" &&
+        lem(b - 2) == "perform" && lem(b - 1) == "with")
+    val rightSoftware = Array.tabulate(n + 1)(e => e < n && lem(e) == "software")
+    val pan7 = Array.tabulate(n + 1)(e =>
+      e + 1 < n && lem(e) == "statistical" && lem(e + 1) == "software")
+    val pan8 = Array.tabulate(n + 1)(e =>
+      e + 2 < n && lem(e) == "software" && lem(e + 1) == "be" && lem(e + 2) == "use")
     def panCount(b: Int, e: Int): Int = {
       var c = 0
-      if (leftLem(b, 1) == Seq("use") && rightLem(e, 1) == Seq("software")) c += 1 // pan_top_1
-      if (leftLem(b, 2) == Seq("perform", "use") ||
-        leftLem(b, 3) == Seq("be", "perform", "use") ||
-        leftLem(b, 4) == Seq("analysis", "be", "perform", "use")) c += 1 // pan_top_2/3/4 family
-      val l2 = leftLem(b, 2)
-      if (l2.length == 2 && (l2(0) == "analyze" || l2(0) == "analyse") && l2(1) == "use") c += 1 // pan_top_5
-      if (leftLem(b, 4) == Seq("analysis", "be", "perform", "with")) c += 1 // pan_top_6
-      if (rightLem(e, 2) == Seq("statistical", "software")) c += 1 // pan_top_7
-      if (rightLem(e, 3) == Seq("software", "be", "use")) c += 1 // pan_top_8
+      if (leftUse(b) && rightSoftware(e)) c += 1 // pan_top_1
+      if (famB(b)) c += 1
+      if (pan5(b)) c += 1
+      if (pan6(b)) c += 1
+      if (pan7(e)) c += 1
+      if (pan8(e)) c += 1
       c
     }
     def inBrackets(b: Int, e: Int): Boolean =
@@ -91,6 +110,9 @@ object MentionDetector {
         surfaces.slice(b, e).exists(t => DeveloperMarkers(t.toLowerCase))
 
     // --- W5 candidate enumeration + acceptance ------------------------------
+    // 6n candidate spans; the gazetteer lookup prunes on the first token
+    // (d.firstTokenMaxLen) so the joined-string build only happens for spans
+    // that can possibly match — O(1) per span otherwise.
     val accepted = Vector.newBuilder[(Int, Int, Array[Int], Int, Boolean)] // (b, e, srcIds, pan, strong)
     val developerSpans = Vector.newBuilder[(Int, Int)]
     var len = 1
@@ -98,9 +120,12 @@ object MentionDetector {
       var b = 0
       while (b + len <= n) {
         val e = b + len
-        val joined = surfaces.slice(b, e).mkString(" ")
-        if (joined.length != 1 && developerRule(b, e)) developerSpans += ((b, e))
-        val srcIds = d.inverted.getOrElse(joined, null)
+        if ((len > 1 || surfaces(b).length != 1) && developerRule(b, e)) developerSpans += ((b, e))
+        val srcIds: Array[Int] =
+          if (len == 1) d.inverted.getOrElse(surfaces(b), null)
+          else if (d.firstTokenMaxLen.getOrElse(surfaces(b), 0) >= len)
+            d.inverted.getOrElse(surfaces.slice(b, e).mkString(" "), null)
+          else null
         val pan = panCount(b, e)
         val strongHits = if (srcIds == null) 0 else srcIds.count(d.strongSources)
         val weakHit = srcIds != null && srcIds.nonEmpty

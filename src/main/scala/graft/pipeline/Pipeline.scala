@@ -28,15 +28,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object Pipeline {
 
-  /** One turn's detection output — the unit of the fused NER+RE pass. */
-  final case class TurnResult(
+  /** One detection output row — FLAT union of mentions (kind='m') and
+    * relations (kind='r') so the single-pass persist encodes primitive
+    * columns, not nested Seqs (nested-array Tungsten encoding measured ~3×
+    * the cost of the detection itself at 1M turns).
+    */
+  final case class DetectedRow(
+      kind: String,
       conv_id: String,
       turn_idx: Int,
-      mentions: Seq[Mention],
-      relations: Seq[Relation])
+      mention_id: String,
+      label: String,
+      beg: Int,
+      end: Int,
+      surface: String,
+      pred: String,
+      subj_beg: Int,
+      subj_surface: String,
+      subj_label: String,
+      obj_beg: Int,
+      obj_surface: String,
+      obj_label: String)
 
   final case class Result(
-      perTurn: Dataset[TurnResult],
+      perTurn: Dataset[DetectedRow],
       mentions: Dataset[Mention],
       relations: Dataset[Relation],
       samples: Dataset[LinkingSample],
@@ -49,31 +64,41 @@ object Pipeline {
     }
   }
 
-  /** Fused per-turn NER + RE: one pass, zero shuffle. */
-  def detectPerTurn(turns: Dataset[Turn],
-      bc: org.apache.spark.broadcast.Broadcast[Dicts]): Dataset[TurnResult] = {
+  /** Fused per-turn NER + RE: one pass, zero shuffle, flat output rows. */
+  def detectFlat(turns: Dataset[Turn],
+      bc: org.apache.spark.broadcast.Broadcast[Dicts]): Dataset[DetectedRow] = {
     val spark = turns.sparkSession
     import spark.implicits._
-    turns.mapPartitions(_.map { t =>
+    turns.mapPartitions(_.flatMap { t =>
       val spans = MentionDetector.detect(t.text, bc.value)
       val ms = spans.iterator.zipWithIndex.map { case (s, i) =>
-        Mention(t.conv_id, t.turn_idx, s"T${i + 1}", s.typ, s.beg, s.end, s.surface)
-      }.toSeq
-      val rs = RelationExtractor.classify(t.text, spans).map { case (s, pred, m) =>
-        Relation(t.conv_id, t.turn_idx, pred, s.beg, s.surface, s.typ, m.beg, m.surface, m.typ)
+        DetectedRow("m", t.conv_id, t.turn_idx, s"T${i + 1}", s.typ, s.beg, s.end, s.surface,
+          null, -1, null, null, -1, null, null)
       }
-      TurnResult(t.conv_id, t.turn_idx, ms, rs)
+      val rs = RelationExtractor.classify(t.text, spans).iterator.map { case (s, pred, m) =>
+        DetectedRow("r", t.conv_id, t.turn_idx, null, null, -1, -1, null,
+          pred, s.beg, s.surface, s.typ, m.beg, m.surface, m.typ)
+      }
+      ms ++ rs
     })
   }
+
+  /** Back-compat view used by the stage-level profilers/tests. */
+  def detectPerTurn(turns: Dataset[Turn],
+      bc: org.apache.spark.broadcast.Broadcast[Dicts]): Dataset[DetectedRow] =
+    detectFlat(turns, bc)
 
   def run(spark: SparkSession, turns: Dataset[Turn], d: Dicts,
       threshold: Double = graft.ed.PairScorer.Threshold): Result = {
     import spark.implicits._
     val bc = Dicts.broadcast(spark, d)
 
-    val perTurn = detectPerTurn(turns, bc).persist(StorageLevel.MEMORY_AND_DISK)
-    val mentions = perTurn.flatMap(_.mentions)
-    val relations = perTurn.flatMap(_.relations)
+    val perTurn = detectFlat(turns, bc).persist(StorageLevel.MEMORY_AND_DISK)
+    val mentions = perTurn.filter(_.kind == "m")
+      .map(r => Mention(r.conv_id, r.turn_idx, r.mention_id, r.label, r.beg, r.end, r.surface))
+    val relations = perTurn.filter(_.kind == "r")
+      .map(r => Relation(r.conv_id, r.turn_idx, r.pred, r.subj_beg, r.subj_surface,
+        r.subj_label, r.obj_beg, r.obj_surface, r.obj_label))
 
     val samples = Linking.samples(mentions, relations).persist(StorageLevel.MEMORY_AND_DISK)
     val edges = Blocking.edges(samples, bc, threshold)
