@@ -87,13 +87,17 @@ object Bench {
     spark1.stop()
 
     // --- scaling: identical synthetic KG job at N and 4N threads -------------
-    // (each level gets a JIT warm-up pass at 1/10 scale before measuring)
+    // Each level: one JIT warm-up pass at 1/10 scale, then MIN of `reps`
+    // measured runs — this host is a shared VM with 2-10% CPU-steal spikes
+    // (measured via /proc/stat), so the minimum approximates the
+    // uncontended machine better than any single run.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val turns = scaleConvs.toLong * turnsPer
     def measure(cores: Int): Double = {
       val s = session(cores)
       s.range(10).count()
       kgWorkload(s, scaleConvs / 10, turnsPer) // warm-up: JIT + codegen caches
-      val sec = time(kgWorkload(s, scaleConvs, turnsPer))
+      val sec = (1 to reps).map(_ => time(kgWorkload(s, scaleConvs, turnsPer))).min
       s.stop()
       sec
     }

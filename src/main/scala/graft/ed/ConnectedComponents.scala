@@ -30,13 +30,27 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count cutoff below which union-find runs on the driver: a tiny
+    * edge set costs more in iterative-job scheduling than in memory. 5M
+    * edges ≈ 120 MB — far below driver heap; beyond it the distributed loop
+    * takes over. (The reference always runs union-find on one node —
+    * `efficient_prediction.py:319-359`; here that is only the small-graph
+    * fast path.)
+    */
+  val DriverEdgeCutoff = 5000000L
+
   /** @param vertices all sample ids (isolated vertices keep their own id)
     * @param edges undirected similarity edges
     * @return (id, component) where component = min id reachable
     */
-  def run(vertices: Dataset[java.lang.Long], edges: Dataset[Edge], maxIter: Int = 35): DataFrame = {
+  def run(vertices: Dataset[java.lang.Long], edges: Dataset[Edge], maxIter: Int = 35,
+      driverCutoff: Long = DriverEdgeCutoff): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
+
+    val edgePairs = edges.select($"src", $"dst").as[(Long, Long)]
+    val nEdges = edgePairs.count()
+    if (nEdges <= driverCutoff) return runOnDriver(vertices, edgePairs.collect())
 
     var labels = vertices.toDF("id").withColumn("component", $"id").localCheckpoint(true)
 
@@ -76,6 +90,43 @@ object ConnectedComponents {
       iter += 1
     }
     labels
+  }
+
+  /** Small-graph fast path: classic union-find on the driver, result
+    * re-distributed as a DataFrame. Component id = min member id (same
+    * contract as the distributed loop; equality asserted in EdSpec).
+    */
+  private def runOnDriver(vertices: Dataset[java.lang.Long], edges: Array[(Long, Long)]): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val ids = vertices.as[Long].collect()
+    val index = new java.util.HashMap[Long, Int](ids.length * 2)
+    var i = 0
+    while (i < ids.length) { index.put(ids(i), i); i += 1 }
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ia = index.get(a); val ib = index.get(b)
+      val ra = find(ia); val rb = find(ib)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // component = min id among members
+    val minId = new Array[Long](ids.length)
+    java.util.Arrays.fill(minId, Long.MaxValue)
+    i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      if (ids(i) < minId(r)) minId(r) = ids(i)
+      i += 1
+    }
+    val rows = ids.indices.map(j => (ids(j), minId(find(j))))
+    spark.createDataset(rows).toDF("id", "component")
   }
 
   /** Typed convenience. */

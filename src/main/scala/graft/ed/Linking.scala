@@ -52,15 +52,25 @@ object Linking {
       .select(mains("conv_id"), mains("turn_idx"), mains("beg"), mains("label"),
         mains("surface"), coalesce($"rels", array()).as("rels"))
 
-    // two-phase deterministic top-5 per surface (salted against hot keys)
+    // two-phase deterministic top-5 per surface, salted against hot keys.
+    // Phase 1 ranks within (surface, salt) — 64-way spread of a hot surface —
+    // and KEEPS ONLY rank ≤ 5, so no aggregation state ever exceeds 5 rows
+    // per group (a collect_list-then-slice would buffer every occurrence of
+    // "Python"). Phase 2 ranks the ≤5·64 survivors per surface. Each phase-1
+    // top-5 is a superset of the global top-5 restricted to its salt, so the
+    // result equals the unsalted global top-5.
     val salted = ctx.withColumn("salt", pmod(xxhash64($"conv_id", $"turn_idx"), lit(SaltBuckets)))
-    val phase1 = salted
-      .groupBy($"surface", $"salt")
-      .agg(slice(array_sort(collect_list(struct($"conv_id", $"turn_idx", $"beg", $"label", $"rels"))),
-        1, MaxContexts).as("top"))
-    val phase2 = phase1
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"surface", $"salt").orderBy($"conv_id", $"turn_idx", $"beg")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"surface").orderBy($"conv_id", $"turn_idx", $"beg")
+    val top = salted
+      .withColumn("rn1", row_number().over(w1)).filter($"rn1" <= MaxContexts)
+      .withColumn("rn2", row_number().over(w2)).filter($"rn2" <= MaxContexts)
+    val phase2 = top
       .groupBy($"surface")
-      .agg(slice(array_sort(flatten(collect_list($"top"))), 1, MaxContexts).as("contexts"))
+      .agg(array_sort(collect_list(struct($"conv_id", $"turn_idx", $"beg", $"label", $"rels")))
+        .as("contexts"))
 
     phase2.select(
       xxhash64($"surface").as("sample_id"),

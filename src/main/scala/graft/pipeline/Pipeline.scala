@@ -51,7 +51,6 @@ object Pipeline {
       obj_label: String)
 
   final case class Result(
-      perTurn: Dataset[DetectedRow],
       mentions: Dataset[Mention],
       relations: Dataset[Relation],
       samples: Dataset[LinkingSample],
@@ -59,7 +58,7 @@ object Pipeline {
       components: DataFrame,
       triples: Dataset[Triple]) {
     def unpersist(): Unit = {
-      perTurn.unpersist()
+      relations.unpersist()
       samples.unpersist()
     }
   }
@@ -93,12 +92,14 @@ object Pipeline {
     import spark.implicits._
     val bc = Dicts.broadcast(spark, d)
 
-    val perTurn = detectFlat(turns, bc).persist(StorageLevel.MEMORY_AND_DISK)
-    val mentions = perTurn.filter(_.kind == "m")
-      .map(r => Mention(r.conv_id, r.turn_idx, r.mention_id, r.label, r.beg, r.end, r.surface))
-    val relations = perTurn.filter(_.kind == "r")
-      .map(r => Relation(r.conv_id, r.turn_idx, r.pred, r.subj_beg, r.subj_surface,
-        r.subj_label, r.obj_beg, r.obj_surface, r.obj_label))
+    // Relations are ~0.5 rows/turn → cheap to cache; mentions are several
+    // rows/turn and consumed by exactly ONE downstream (the sample build), so
+    // they are NOT cached — re-running the detector once (embarrassingly
+    // parallel, scales with cores) measured cheaper than materializing the
+    // wide mention cache (which does not scale: columnar cache build is
+    // memory-bandwidth-bound).
+    val relations = RelationExtractor.relations(turns, bc).persist(StorageLevel.MEMORY_AND_DISK)
+    val mentions = MentionDetector.mentions(turns, bc)
 
     val samples = Linking.samples(mentions, relations).persist(StorageLevel.MEMORY_AND_DISK)
     val edges = Blocking.edges(samples, bc, threshold)
@@ -125,7 +126,7 @@ object Pipeline {
         coalesce($"obj_can", xxhash64($"obj_surface")).as("obj_canonical"))
       .as[Triple]
 
-    Result(perTurn, mentions, relations, samples, edges, components, triples)
+    Result(mentions, relations, samples, edges, components, triples)
   }
 
   /** Deduplicated KG materialization: one row per canonical

@@ -176,10 +176,15 @@ class EdSpec extends AnyFunSuite {
       edges.foreach(e => parent(find(e.src.toInt)) = find(e.dst.toInt))
       val expected = (0 until n).groupBy(find).values.map(_.toSet).toSet
       val vertices = spark.createDataset((0 until n).map(i => java.lang.Long.valueOf(i.toLong)))
-      val got = ConnectedComponents.run(vertices, spark.createDataset(edges))
+      // exercise BOTH paths: distributed loop (cutoff -1) and driver fast path
+      val gotDistributed = ConnectedComponents.run(vertices, spark.createDataset(edges), driverCutoff = -1L)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._2).values.map(_.map(_._1.toInt).toSet).toSet
-      assert(got == expected, s"trial $trial")
+      val gotDriver = ConnectedComponents.run(vertices, spark.createDataset(edges))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._2).values.map(_.map(_._1.toInt).toSet).toSet
+      assert(gotDistributed == expected, s"trial $trial (distributed)")
+      assert(gotDriver == expected, s"trial $trial (driver)")
     }
   }
 }
