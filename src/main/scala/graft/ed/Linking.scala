@@ -1,7 +1,8 @@
 package graft.ed
 
 import graft.core._
-import org.apache.spark.sql.{Dataset, DataFrame}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Builds the deduplicated linking-sample set from mentions + relations —
@@ -14,17 +15,18 @@ import org.apache.spark.sql.functions._
   * (`random.random() ≤ 1/occurrence`) is replaced by the first 5 contexts in
   * stable (conv_id, turn_idx, beg) order.
   *
-  * Skew (north_rule): hot surfaces ("Python", "SPSS") would funnel every
-  * occurrence into one window partition; the top-5 cap is therefore computed
-  * in TWO phases over a salted key — per-(surface, salt) top-5 first (64-way
-  * spread, partial-agg friendly), then top-5 of the ≤5·64 survivors. Sample
-  * ids are `xxhash64(surface)`: deterministic, shuffle-free, collision-safe
-  * at realistic vocabulary sizes.
+  * Scale/skew (north_rule): the top-5 selection runs as a typed
+  * [[TopKContexts]] Aggregator whose buffer is CAPPED at 5 rows — partial
+  * (map-side) aggregation reduces every partition's occurrences of a hot
+  * surface ("Python" at 10⁹ rows) to 5 before anything shuffles, so the
+  * shuffle volume is O(#unique surfaces × tasks), independent of corpus
+  * size. Relations are joined only for the ≤5 chosen contexts per surface,
+  * never for the full mention stream. Sample ids are `xxhash64(surface)`:
+  * deterministic, shuffle-free, collision-safe at realistic vocabularies.
   */
 object Linking {
 
   val MaxContexts = 5 // efficient_prediction.py:87-95
-  val SaltBuckets = 64
 
   /** Main-entity filter P4 (`bin/somesci_disambiguation_input:25,118-121`). */
   val MainTypePrefixes: Seq[String] =
@@ -33,6 +35,24 @@ object Linking {
   def isMainLabel(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     MainTypePrefixes.map(p => c.startsWith(p + "_")).reduce(_ || _)
 
+  /** One mention occurrence candidate-context (pre-relations). */
+  final case class Ctx(conv_id: String, turn_idx: Int, beg: Int, label: String)
+
+  /** Bounded top-k by (conv_id, turn_idx, beg) — the buffer never exceeds
+    * k elements, so partial aggregation keeps hot keys cheap.
+    */
+  final class TopKContexts(k: Int) extends Aggregator[(String, Ctx), Seq[Ctx], Seq[Ctx]] {
+    private def ord(c: Ctx) = (c.conv_id, c.turn_idx, c.beg)
+    private def trim(xs: Seq[Ctx]): Seq[Ctx] = xs.sortBy(ord).take(k)
+    override def zero: Seq[Ctx] = Vector.empty
+    override def reduce(b: Seq[Ctx], a: (String, Ctx)): Seq[Ctx] = trim(b :+ a._2)
+    override def merge(b1: Seq[Ctx], b2: Seq[Ctx]): Seq[Ctx] = trim(b1 ++ b2)
+    override def finish(r: Seq[Ctx]): Seq[Ctx] = r
+    override def bufferEncoder: Encoder[Seq[Ctx]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Ctx]]()
+    override def outputEncoder: Encoder[Seq[Ctx]] = bufferEncoder
+  }
+
   /** (surface → ≤5 contexts with their relations), as a typed sample set. */
   def samples(mentions: Dataset[Mention], relations: Dataset[Relation]): Dataset[LinkingSample] = {
     val spark = mentions.sparkSession
@@ -40,39 +60,36 @@ object Linking {
 
     val mains = mentions.filter(isMainLabel($"label"))
 
-    // relations whose OBJECT is this mention occurrence → RelInfo(pred, subj)
+    // bounded top-5 contexts per surface (map-side partial agg — see scaladoc)
+    implicit val ctxSeqEnc: Encoder[Seq[Ctx]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    val topk = new TopKContexts(MaxContexts).toColumn
+    val chosen = mains
+      .map(m => (m.surface, Ctx(m.conv_id, m.turn_idx, m.beg, m.label)))
+      .groupByKey(_._1)
+      .agg(topk.name("contexts"))
+      .toDF("surface", "contexts")
+
+    // relations of JUST the chosen contexts (≤5 per surface): explode, join
+    // the (small) context keys against the relation table, re-group.
+    val ctxRows = chosen.select($"surface", explode($"contexts").as("c"))
+      .select($"surface", $"c.conv_id", $"c.turn_idx", $"c.beg", $"c.label")
     val rels = relations
       .groupBy($"conv_id", $"turn_idx", $"obj_beg")
-      .agg(collect_list(struct($"pred".as("typ"), $"subj_surface".as("string"))).as("rels"))
-
-    val ctx = mains
+      .agg(sort_array(collect_list(struct($"pred".as("typ"), $"subj_surface".as("string"))))
+        .as("rels"))
+    val withRels = ctxRows
       .join(rels,
-        mains("conv_id") === rels("conv_id") && mains("turn_idx") === rels("turn_idx") &&
-          mains("beg") === rels("obj_beg"), "left")
-      .select(mains("conv_id"), mains("turn_idx"), mains("beg"), mains("label"),
-        mains("surface"), coalesce($"rels", array()).as("rels"))
+        ctxRows("conv_id") === rels("conv_id") && ctxRows("turn_idx") === rels("turn_idx") &&
+          ctxRows("beg") === rels("obj_beg"), "left")
+      .select(ctxRows("surface"), ctxRows("conv_id"), ctxRows("turn_idx"), ctxRows("beg"),
+        ctxRows("label"), coalesce($"rels", array()).as("rels"))
 
-    // two-phase deterministic top-5 per surface, salted against hot keys.
-    // Phase 1 ranks within (surface, salt) — 64-way spread of a hot surface —
-    // and KEEPS ONLY rank ≤ 5, so no aggregation state ever exceeds 5 rows
-    // per group (a collect_list-then-slice would buffer every occurrence of
-    // "Python"). Phase 2 ranks the ≤5·64 survivors per surface. Each phase-1
-    // top-5 is a superset of the global top-5 restricted to its salt, so the
-    // result equals the unsalted global top-5.
-    val salted = ctx.withColumn("salt", pmod(xxhash64($"conv_id", $"turn_idx"), lit(SaltBuckets)))
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"surface", $"salt").orderBy($"conv_id", $"turn_idx", $"beg")
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"surface").orderBy($"conv_id", $"turn_idx", $"beg")
-    val top = salted
-      .withColumn("rn1", row_number().over(w1)).filter($"rn1" <= MaxContexts)
-      .withColumn("rn2", row_number().over(w2)).filter($"rn2" <= MaxContexts)
-    val phase2 = top
+    val grouped = withRels
       .groupBy($"surface")
       .agg(array_sort(collect_list(struct($"conv_id", $"turn_idx", $"beg", $"label", $"rels")))
-        .as("contexts"))
+        .as("contexts")) // ≤5 rows per group — bounded
 
-    phase2.select(
+    grouped.select(
       xxhash64($"surface").as("sample_id"),
       $"contexts"(0)("conv_id").as("conv_id"),
       $"contexts"(0)("turn_idx").as("turn_idx"),
