@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // batch-throughput GC: the per-turn detectors are allocation-heavy; G1's
   // pause-time target costs ~2x throughput at local[32] on this workload
   "-XX:+UseParallelGC",
+  // large young gen: the per-turn taggers allocate heavily and nothing
+  // survives a turn — keep collections rare and cheap
+  "-Xmn12g",
 )

@@ -99,9 +99,17 @@ object Pipeline {
     // wide mention cache (which does not scale: columnar cache build is
     // memory-bandwidth-bound).
     val relations = RelationExtractor.relations(turns, bc).persist(StorageLevel.MEMORY_AND_DISK)
+    relations.count() // EAGER: see below
     val mentions = MentionDetector.mentions(turns, bc)
 
     val samples = Linking.samples(mentions, relations).persist(StorageLevel.MEMORY_AND_DISK)
+    // EAGER materialization of both caches: the downstream DAG references
+    // them from several subtrees that AQE executes CONCURRENTLY (broadcast-
+    // exchange futures). A lazy cache would be recomputed once per
+    // concurrent subtree before any partition lands in the cache — measured
+    // as ~4x duplicated detect/sample work at 3M turns. One synchronous
+    // count per cache removes that.
+    samples.count()
     val edges = Blocking.edges(samples, bc, threshold)
     val vertices = samples.select($"sample_id".as[java.lang.Long])
     val components = ConnectedComponents.run(vertices, edges)
