@@ -56,7 +56,9 @@ object RelationExtractor {
     val sorted = spans.sortBy(_.beg)
     val mains = sorted.filter(s => isMain(s.typ))
     if (mains.isEmpty) return Vector.empty
-    val lemmasAt = Tok.tokens(text).map(t => (t.beg, t.end, Lemma.of(t.surface)))
+    // tokenization only needed for the PlugIn connective check — lazy so the
+    // common attribute-only turn never re-tokenizes
+    lazy val lemmasAt = Tok.tokens(text).map(t => (t.beg, t.end, Lemma.of(t.surface)))
 
     def gap(a: Span, m: Span): Int =
       if (a.beg >= m.end) a.beg - m.end
