@@ -1,0 +1,13 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val s = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val n = SparkEntry.entry(s).count()
+    println(s"ENTRY_ROWS=$n")
+    s.stop()
+  }
+}
