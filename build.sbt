@@ -31,6 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pause-time target costs ~2x throughput at local[32] on this workload
   "-XX:+UseParallelGC",
   // large young gen: the per-turn taggers allocate heavily and nothing
-  // survives a turn — keep collections rare and cheap
-  "-Xmn12g",
+  // survives a turn — keep collections rare and cheap. Sized RELATIVE to
+  // the heap (young = heap/2) so SPARK_DRIVER_MEM below the old fixed
+  // -Xmn12g cannot produce young-gen > max-heap (JVM refuses to start).
+  "-XX:NewRatio=1",
 )

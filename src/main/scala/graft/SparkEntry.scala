@@ -29,9 +29,12 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
   private def events(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
 
-  /** Augmented transcripts: every 4th document gets a trailing version
-    * mention so the RE/ED stages have verifiable work over the word-salad
-    * corpus. Mirrored 1:1 by [[turns2Sql]].
+  /** Augmented transcripts: every 4th document (doc_id%4=0) gets a trailing
+    * version mention, and every doc_id%4=2 document a trailing CAPITALIZED
+    * "Spark version 3.2" — the case variant of the salad token "spark" —
+    * so the RE stage has verifiable work AND the ED stage has a verifiable
+    * cross-surface merge over the word-salad corpus. Mirrored 1:1 by
+    * [[turns2Sql]].
     */
   private def turns2(s: SparkSession, dir: String) = {
     import s.implicits._
@@ -41,6 +44,7 @@ object SparkEntry {
       when(col("doc_id") % 3 === 0, "user")
         .when(col("doc_id") % 3 === 1, "assistant").otherwise("tool").as("role"),
       when(col("doc_id") % 4 === 0, concat(col("text"), lit(" version 2.1")))
+        .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" Spark version 3.2")))
         .otherwise(col("text")).as("text"),
       when(col("doc_id") % 3 === 2, lit("search")).otherwise(lit(null).cast("string")).as("tool"),
       expr("timestampadd(SECOND, doc_id, TIMESTAMP '2025-01-01 00:00:00')").as("ts"))
@@ -51,7 +55,9 @@ object SparkEntry {
     """SELECT 'c' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
       |       CAST(doc_id % 10 AS INT) AS turn_idx,
       |       CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
-      |       CASE WHEN doc_id % 4 = 0 THEN text || ' version 2.1' ELSE text END AS text,
+      |       CASE WHEN doc_id % 4 = 0 THEN text || ' version 2.1'
+      |            WHEN doc_id % 4 = 2 THEN text || ' Spark version 3.2'
+      |            ELSE text END AS text,
       |       CASE WHEN doc_id % 3 = 2 THEN 'search' ELSE NULL END AS tool,
       |       TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts
       |FROM documents""".stripMargin
@@ -114,13 +120,17 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
-    // --- A1: first-seen vocabulary with dense ids ---------------------------
+    // --- A1: first-seen vocabulary with dense ids. Ranked by the two-phase
+    // range-partitioned rank (Ranking.denseIds) — NOT a global
+    // un-partitioned window, which would serialize a 10⁸-token vocabulary
+    // through one task.
     "q_a1_vocab" -> ((s, dir) => {
       val tok = docs(s, dir).select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-      tok.groupBy("token")
+      val firstSeen = tok.groupBy("token")
         .agg(min(col("doc_id") * 100000 + col("pos")).as("fs"))
-        .select(col("token"), row_number().over(Window.orderBy(col("fs"))).as("vid"))
+      graft.ops.Ranking.denseIds(firstSeen, "fs", "vid")
+        .select(col("token"), col("vid"))
         .orderBy("vid")
     }),
 
@@ -146,8 +156,8 @@ object SparkEntry {
 
     "q_kg_canonical" -> ((s, dir) => {
       val r = Pipeline.run(s, turns2(s, dir), Dicts.testdata)
-      Pipeline.canonicalTriples(r.triples).toDF()
-        .orderBy("subj", "pred", "obj", "conv_id", "turn_idx")
+      Pipeline.canonicalTriplesSurfaced(r)
+        .orderBy("subj_canon", "pred", "obj_canon")
     }),
 
     // --- A5: surface counts (hot-key aggregation) ---------------------------
@@ -333,13 +343,16 @@ object SparkEntry {
         .select(col("src"), col("dst"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("src", "dst")),
 
+    // bands = numHashes (one minhash per band): per-pair miss probability
+    // (1-s)^32 ≈ 2e-10 at the 0.5 threshold, so the emitted set equals the
+    // full exact-Jaccard pair set and the DuckDB oracle holds it to that.
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashDupes(docs(s, dir), k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      Dedup.minhashDupes(docs(s, dir), k = 3, numHashes = 32, bands = 32, threshold = 0.5)
         .select(col("src"), col("dst"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("src", "dst")),
 
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashDupes(docs(s, dir), maxHamming = 8)
+      Dedup.simhashDupes(docs(s, dir), maxHamming = 3)
         .select(col("src"), col("dst"), col("hamming"))
         .orderBy("src", "dst")),
 
@@ -471,11 +484,12 @@ object SparkEntry {
            |  SELECT conv_id, turn_idx, max_by(token, pos) AS obj_surface, max(beg) AS obj_beg
            |  FROM men GROUP BY conv_id, turn_idx)
            |SELECT t2.conv_id, t2.turn_idx, 'Version_of' AS pred,
-           |       CAST(length(t2.text) - 3 AS INT) AS subj_beg, '2.1' AS subj_surface,
+           |       CAST(length(t2.text) - 3 AS INT) AS subj_beg,
+           |       CASE WHEN t2.text LIKE '% Spark version 3.2' THEN '3.2' ELSE '2.1' END AS subj_surface,
            |       CAST(ls.obj_beg AS INT) AS obj_beg, ls.obj_surface
            |FROM t2 JOIN last_soft ls
            |  ON t2.conv_id = ls.conv_id AND t2.turn_idx = ls.turn_idx
-           |WHERE t2.text LIKE '% version 2.1'
+           |WHERE t2.text LIKE '% version 2.1' OR t2.text LIKE '% Spark version 3.2'
            |ORDER BY t2.conv_id, t2.turn_idx, subj_beg, obj_beg""".stripMargin,
 
       "q_kg_triples" ->
@@ -490,11 +504,53 @@ object SparkEntry {
            |  WHERE token IN (${sqlList(softwareList)})),
            |last_soft AS (
            |  SELECT conv_id, turn_idx, max_by(token, pos) AS obj FROM men GROUP BY conv_id, turn_idx)
-           |SELECT t2.conv_id, t2.turn_idx, '2.1' AS subj, 'Version_of' AS pred, ls.obj
+           |SELECT t2.conv_id, t2.turn_idx,
+           |       CASE WHEN t2.text LIKE '% Spark version 3.2' THEN '3.2' ELSE '2.1' END AS subj,
+           |       'Version_of' AS pred, ls.obj
            |FROM t2 JOIN last_soft ls
            |  ON t2.conv_id = ls.conv_id AND t2.turn_idx = ls.turn_idx
-           |WHERE t2.text LIKE '% version 2.1'
+           |WHERE t2.text LIKE '% version 2.1' OR t2.text LIKE '% Spark version 3.2'
            |ORDER BY t2.conv_id, t2.turn_idx, subj, pred, obj""".stripMargin,
+
+      // ED canonicalization END-TO-END (mentions → samples → blocked scoring
+      // → CC → canonical back-join → dedup). Oracle justification: on this
+      // corpus the scorer links EXACTLY the same-normalize() pairs — the
+      // only shared blocking keys are between case variants of one token
+      // ("spark"/"Spark": distance 0 via identical norms), every other
+      // surface pair shares no block (distinct n:/p:/a:/d: keys) — so the
+      // component relation ≡ grouping by lower(surface), and the canonical
+      // representative is the minimum member surface.
+      "q_kg_canonical" ->
+        s"""WITH t2 AS ($turns2Sql),
+           |tok AS (
+           |  SELECT t2.conv_id, t2.turn_idx, t2.text,
+           |         unnest(string_split(t2.text, ' ')) AS token,
+           |         CAST(generate_subscripts(string_split(t2.text, ' '), 1) - 1 AS INT) AS pos
+           |  FROM t2),
+           |men AS (
+           |  SELECT conv_id, turn_idx, token, pos FROM tok
+           |  WHERE token IN (${sqlList(softwareList)})),
+           |last_soft AS (
+           |  SELECT conv_id, turn_idx, max_by(token, pos) AS obj FROM men GROUP BY conv_id, turn_idx),
+           |tri AS (
+           |  SELECT t2.conv_id, t2.turn_idx,
+           |         CASE WHEN t2.text LIKE '% Spark version 3.2' THEN '3.2' ELSE '2.1' END AS subj,
+           |         'Version_of' AS pred, ls.obj
+           |  FROM t2 JOIN last_soft ls
+           |    ON t2.conv_id = ls.conv_id AND t2.turn_idx = ls.turn_idx
+           |  WHERE t2.text LIKE '% version 2.1' OR t2.text LIKE '% Spark version 3.2'),
+           |surf AS (SELECT DISTINCT token AS mention FROM men),
+           |canon AS (SELECT mention, min(mention) OVER (PARTITION BY lower(mention)) AS cs FROM surf),
+           |tri2 AS (
+           |  SELECT tri.conv_id, tri.turn_idx, tri.subj, tri.pred, tri.obj,
+           |         coalesce(c1.cs, tri.subj) AS subj_canon, coalesce(c2.cs, tri.obj) AS obj_canon
+           |  FROM tri LEFT JOIN canon c1 ON tri.subj = c1.mention
+           |           LEFT JOIN canon c2 ON tri.obj = c2.mention),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY subj_canon, pred, obj_canon
+           |                                   ORDER BY conv_id, turn_idx, subj, obj) AS rn
+           |      FROM tri2)
+           |SELECT subj, pred, obj, conv_id, turn_idx, subj_canon, obj_canon
+           |FROM r WHERE rn = 1 ORDER BY subj_canon, pred, obj_canon""".stripMargin,
 
       "q_a5_surface_counts" ->
         s"""WITH $mentionsSql
@@ -644,7 +700,7 @@ object SparkEntry {
       "q_dedup_ngram_jaccard" ->
         """WITH sh0 AS (
           |  SELECT doc_id, text,
-          |         unnest(range(1, greatest(len(string_split(text, ' ')) - 1, 1))) AS i
+          |         unnest(range(1, greatest(len(string_split(text, ' ')) - 1, 2))) AS i
           |  FROM documents),
           |sh AS (
           |  SELECT DISTINCT doc_id,
@@ -663,6 +719,92 @@ object SparkEntry {
           |FROM common c JOIN cnt ca ON ca.doc_id = c.src JOIN cnt cb ON cb.doc_id = c.dst
           |WHERE c.common * 1.0 / (ca.n + cb.n - c.common) >= 0.5
           |ORDER BY src, dst""".stripMargin,
+
+      // MinHash+LSH with one-row bands (q uses bands = numHashes = 32): per
+      // true pair at s ≥ 0.5 the candidate-miss probability is (1-s)^32 ≤
+      // 2.3e-10, and the output is exact-Jaccard-verified, so the emitted
+      // set equals the full exact-Jaccard pair set, which IS expressible:
+      "q_dedup_minhash" ->
+        """WITH sh0 AS (
+          |  SELECT doc_id, text,
+          |         unnest(range(1, greatest(len(string_split(text, ' ')) - 1, 2))) AS i
+          |  FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |         array_to_string((string_split(text, ' '))[i:i+2], ' ') AS shingle
+          |  FROM sh0),
+          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |common AS (
+          |  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT c.src, c.dst,
+          |       round(c.common * 1.0 / (ca.n + cb.n - c.common), 4) AS jaccard
+          |FROM common c JOIN cnt ca ON ca.doc_id = c.src JOIN cnt cb ON cb.doc_id = c.dst
+          |WHERE c.common * 1.0 / (ca.n + cb.n - c.common) >= 0.5
+          |ORDER BY src, dst""".stripMargin,
+
+      // SimHash signatures recomputed from the portable hash61 (exact same
+      // 60-bit signature as the engine), pigeonhole-complete at radius 3:
+      "q_dedup_simhash" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+           |th AS (SELECT doc_id, ${graft.core.Hash61.sql("t")} AS h FROM tok),
+           |bits AS (
+           |  SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+           |  FROM th, range(60) r(b) GROUP BY doc_id, b),
+           |sig AS (
+           |  SELECT doc_id,
+           |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+           |  FROM bits GROUP BY doc_id)
+           |SELECT a.doc_id AS src, b.doc_id AS dst,
+           |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+           |ORDER BY src, dst""".stripMargin,
+
+      // Random-hyperplane LSH with EXACT integer projections (per-term floor
+      // then integer sum — order-independent), plane components from hash61:
+      // the oracle reproduces signatures, banding and the cosine re-rank.
+      "q_ann_lsh" ->
+        s"""WITH comp AS (
+           |  SELECT pp.p, ii.i,
+           |         ${graft.core.Hash61.sql("CAST(pp.p AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR)")} % 2147483648 - 1073741824 AS c
+           |  FROM range(16) pp(p), range(64) ii(i)),
+           |dims AS (
+           |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+           |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i
+           |  FROM embeddings),
+           |proj AS (
+           |  SELECT d.vec_id, c.p, sum(CAST(floor(d.v * c.c) AS BIGINT)) AS s
+           |  FROM dims d JOIN comp c ON d.i = c.i GROUP BY 1, 2),
+           |sig AS (
+           |  SELECT vec_id,
+           |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+           |  FROM proj GROUP BY vec_id),
+           |qb AS (SELECT s.vec_id AS query_id, b.b AS band, (sig >> CAST(b.b * 4 AS INT)) & 15 AS bh
+           |       FROM sig s, range(4) b(b) WHERE s.vec_id < 20),
+           |cb AS (SELECT s.vec_id AS neighbor_id, b.b AS band, (sig >> CAST(b.b * 4 AS INT)) & 15 AS bh
+           |       FROM sig s, range(4) b(b)),
+           |cand AS (
+           |  SELECT DISTINCT q.query_id, c.neighbor_id
+           |  FROM qb q JOIN cb c ON q.band = c.band AND q.bh = c.bh
+           |  WHERE q.query_id != c.neighbor_id),
+           |pairs AS (
+           |  SELECT query_id, neighbor_id, qe.embedding AS qe, ce.embedding AS ce
+           |  FROM cand JOIN embeddings qe ON qe.vec_id = query_id
+           |            JOIN embeddings ce ON ce.vec_id = neighbor_id),
+           |dots AS (
+           |  SELECT query_id, neighbor_id,
+           |         sum(CAST(qe[i.x + 1] AS DOUBLE) * CAST(ce[i.x + 1] AS DOUBLE)) AS dot,
+           |         sum(CAST(qe[i.x + 1] AS DOUBLE) * CAST(qe[i.x + 1] AS DOUBLE)) AS qq,
+           |         sum(CAST(ce[i.x + 1] AS DOUBLE) * CAST(ce[i.x + 1] AS DOUBLE)) AS cc
+           |  FROM pairs, range(64) i(x) GROUP BY query_id, neighbor_id),
+           |sims AS (SELECT query_id, neighbor_id, round(dot / (sqrt(qq) * sqrt(cc)), 6) AS sim FROM dots),
+           |ranked AS (SELECT query_id, neighbor_id, sim,
+           |                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+           |           FROM sims)
+           |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin,
 
       "q_ann_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
@@ -722,6 +864,25 @@ object SparkEntry {
           |       CAST(list_sum(list_transform(string_split(text, ' '),
           |            t -> CAST(ceil(length(t) / 6.0) AS BIGINT))) AS BIGINT) AS subword_tokens
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_textq_fingerprint" ->
+        s"""SELECT doc_id, ${graft.core.Hash61.sql("text")} AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // decode-stub kernel: byte mean with integer quantization
+      // floor(sum·10⁴/len)/10⁴ — the corpus is ASCII so ascii(char) = byte
+      "q_mm_decode" ->
+        """WITH m AS (
+          |  SELECT doc_id, octet_length(encode(text)) AS nb,
+          |         list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS bsum
+          |  FROM documents)
+          |SELECT doc_id,
+          |       CAST(nb % 640 + 1 AS INT) AS width,
+          |       CAST(nb % 480 + 1 AS INT) AS height,
+          |       CASE WHEN nb = 0 THEN 0.0
+          |            ELSE CAST((bsum * 10000) // nb AS DOUBLE) / 10000.0 END AS luma_mean,
+          |       CAST(nb AS BIGINT) AS n_bytes
+          |FROM m ORDER BY doc_id""".stripMargin,
 
       "q_mm_meta" ->
         """SELECT doc_id,

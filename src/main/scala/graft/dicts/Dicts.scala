@@ -157,9 +157,15 @@ object Dicts {
     typeOf = Map("wikidata_software" -> "Application", "wiktionary_english" -> "Application"),
     dbpediaUnique = Map("spark" -> Set("Spark"), "hash" -> Set("Hash")))
 
-  /** The surfaces the testdata gazetteer tags (mirrored in oracle SQL). */
+  /** The surfaces the testdata gazetteer tags (mirrored in oracle SQL).
+    * "Spark" (capitalized) never occurs in the lowercase word-salad corpus;
+    * it enters via the augmented-transcript derivation (SparkEntry.turns2)
+    * specifically so the ED stage has a VERIFIABLE case-variant merge
+    * ("spark" ↔ "Spark" share a normalize block → distance 0 → one
+    * component) that the DuckDB oracle reproduces.
+    */
   val TestdataSoftware: Seq[String] =
-    Seq("spark", "hash", "merge", "sort", "window", "filter", "scan", "agg")
+    Seq("spark", "hash", "merge", "sort", "window", "filter", "scan", "agg", "Spark")
 
   def broadcast(spark: SparkSession, d: Dicts): Broadcast[Dicts] =
     spark.sparkContext.broadcast(d)

@@ -48,9 +48,25 @@ object ConnectedComponents {
     val spark = vertices.sparkSession
     import spark.implicits._
 
+    // The edge set is the most expensive upstream job (blocked pair scoring);
+    // count() + the first downstream consumer must NOT execute it twice.
+    // Persist unless the caller already did (checked on the source Dataset).
+    val ownPersist = edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownPersist) edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgePairs = edges.select($"src", $"dst").as[(Long, Long)]
-    val nEdges = edgePairs.count()
-    if (nEdges <= driverCutoff) return runOnDriver(vertices, edgePairs.collect())
+    val nEdges = edgePairs.count() // materializes the persist
+    if (nEdges <= driverCutoff) {
+      // Driver fast path: collect only EDGE-INCIDENT vertices (≤ 2·nEdges
+      // ids). The vertex set itself is unbounded (every unique surface at
+      // web scale); isolated vertices never move, so they get
+      // component = id distributedly via a left join below.
+      val pairs = edgePairs.collect()
+      if (ownPersist) edges.unpersist()
+      val incident = runOnDriverIncident(spark, pairs)
+      return vertices.toDF("id")
+        .join(incident, Seq("id"), "left")
+        .select($"id", coalesce($"comp", $"id").as("component"))
+    }
 
     var labels = vertices.toDF("id").withColumn("component", $"id").localCheckpoint(true)
 
@@ -89,21 +105,27 @@ object ConnectedComponents {
       labels = l2
       iter += 1
     }
+    if (ownPersist) edges.unpersist()
     labels
   }
 
-  /** Small-graph fast path: classic union-find on the driver, result
-    * re-distributed as a DataFrame. Component id = min member id (same
-    * contract as the distributed loop; equality asserted in EdSpec).
+  /** Small-graph fast path: classic union-find on the driver over the
+    * edge-incident vertex set ONLY (bounded by 2·edge count, never by the
+    * corpus vocabulary). Component id = min member id (same contract as the
+    * distributed loop; equality asserted in EdSpec). Returns (id, comp) for
+    * incident vertices; callers attach isolated vertices via left join.
     */
-  private def runOnDriver(vertices: Dataset[java.lang.Long], edges: Array[(Long, Long)]): DataFrame = {
-    val spark = vertices.sparkSession
+  private def runOnDriverIncident(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val ids = vertices.as[Long].collect()
-    val index = new java.util.HashMap[Long, Int](ids.length * 2)
-    var i = 0
-    while (i < ids.length) { index.put(ids(i), i); i += 1 }
-    val parent = Array.tabulate(ids.length)(identity)
+    val index = new java.util.HashMap[java.lang.Long, java.lang.Integer](edges.length * 4)
+    val idsBuf = new scala.collection.mutable.ArrayBuffer[Long](edges.length * 2)
+    def idx(v: Long): Int = {
+      val cur = index.get(v)
+      if (cur != null) cur.intValue()
+      else { val j = idsBuf.length; index.put(v, j); idsBuf += v; j }
+    }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int](edges.length * 2)
     def find(x: Int): Int = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -112,21 +134,22 @@ object ConnectedComponents {
       r
     }
     edges.foreach { case (a, b) =>
-      val ia = index.get(a); val ib = index.get(b)
+      val ia = idx(a); val ib = idx(b)
+      while (parent.length < idsBuf.length) parent += parent.length
       val ra = find(ia); val rb = find(ib)
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    // component = min id among members
+    val ids = idsBuf.toArray
     val minId = new Array[Long](ids.length)
     java.util.Arrays.fill(minId, Long.MaxValue)
-    i = 0
+    var i = 0
     while (i < ids.length) {
       val r = find(i)
       if (ids(i) < minId(r)) minId(r) = ids(i)
       i += 1
     }
     val rows = ids.indices.map(j => (ids(j), minId(find(j))))
-    spark.createDataset(rows).toDF("id", "component")
+    spark.createDataset(rows).toDF("id", "comp")
   }
 
   /** Typed convenience. */

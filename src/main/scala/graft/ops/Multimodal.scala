@@ -59,15 +59,19 @@ object Multimodal {
   /** STUB decode kernel — deterministic fake of an image decode: byte mean
     * as luma, dimensions from length. Replace with the real codec call; the
     * signature (one payload in, one Decoded out) is the stable contract.
+    * The mean is quantized with INTEGER math — floor(sum·10⁴ / len) / 10⁴ —
+    * so any engine (the DuckDB oracle included) reproduces it exactly; a
+    * float `round()` would diverge on .5-boundary rationals.
     */
   def fakeDecode(id: Long, payload: Array[Byte]): Decoded = {
     var sum = 0L
     var i = 0
     while (i < payload.length) { sum += payload(i) & 0xFF; i += 1 }
-    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
+    val mean = if (payload.length == 0) 0.0
+      else (sum * 10000L / payload.length).toDouble / 10000.0
     Decoded(id,
       MediaMeta(payload.length % 640 + 1, payload.length % 480 + 1, 3, "fake/raw"),
-      math.round(mean * 10000).toDouble / 10000, payload.length.toLong)
+      mean, payload.length.toLong)
   }
 
   /** Deterministic frame sampling plan for a "video" payload: every k-th

@@ -45,22 +45,29 @@ object SimilaritySearch {
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random unit-ish plane component for (plane, dim):
-    * splitmix64 mapped to [-1, 1). Pure expression → same signature for the
-    * same vector under any partitioning.
+  /** Deterministic pseudo-random plane component for (plane, dim): the
+    * portable [[graft.core.Hash61]] of "p:i" mapped to an INTEGER in
+    * [−2^30, 2^30). Integer, not float, so per-dimension projection terms
+    * can be floored to longs and SUMMED EXACTLY — the signature is then
+    * independent of both partitioning AND floating-point addition order,
+    * and a SQL oracle (DuckDB) reproduces it bit-for-bit (round-1 used
+    * xxhash64 doubles → `no_oracle`).
     */
-  private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) = {
-    val seed = xxhash64(lit(plane), dim)
-    (seed.cast("double") / lit(Long.MaxValue.toDouble))
-  }
+  private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.hash61(
+      concat(lit(s"$plane:"), dim.cast("string"))) % lit(2147483648L) - lit(1073741824L)
 
-  /** Bit signature of each vector over nPlanes hyperplanes. */
+  /** Bit signature of each vector over nPlanes hyperplanes: bit p = sign of
+    * Σ_i floor(v_i · c(p,i)) — exact integer arithmetic after the per-term
+    * floor (IEEE multiply + floor is deterministic; integer sum is
+    * order-independent).
+    */
   def signatures(embeddings: DataFrame, nPlanes: Int = 16): DataFrame = {
     val sigBits = (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-          (v, i) => v.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
+          (v, i) => floor(v.cast("double") * planeComponent(p, i))),
+        lit(0L), (acc, v) => acc + v.cast("long"))
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     embeddings.select(col("vec_id"), col("embedding"), sigBits.as("sig"))
@@ -69,9 +76,12 @@ object SimilaritySearch {
   /** LSH ANN: candidates share a signature band (nBands × bandBits prefix
     * split), re-ranked by exact cosine within buckets. Recall < 1 by design;
     * at 100 TB this is the path — tune nPlanes/nBands for recall targets.
+    * Corpus-side band buckets are capped at `maxBucket` by deterministic
+    * rank (Blocking.maxBlockSize pattern): one degenerate bucket
+    * (near-identical embeddings) must not go quadratic.
     */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
-      nPlanes: Int = 16, nBands: Int = 4): DataFrame = {
+      nPlanes: Int = 16, nBands: Int = 4, maxBucket: Int = 4096): DataFrame = {
     require(nPlanes % nBands == 0)
     val bandBits = nPlanes / nBands
     val mask = (1L << bandBits) - 1
@@ -82,14 +92,16 @@ object SimilaritySearch {
               shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bh"))): _*)).as("x"))
         .select(col(idCol), col(embCol), col("x.band"), col("x.bh"))
     val q = banded(queries, "query_id", "qe")
+    val w = Window.partitionBy(col("band"), col("bh")).orderBy(col("neighbor_id"))
     val c = banded(embeddings, "neighbor_id", "ce")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= maxBucket).drop("rk")
     val cand = q.join(c, Seq("band", "bh"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "qe", "ce")
       .dropDuplicates("query_id", "neighbor_id")
     val sims = cand.select(col("query_id"), col("neighbor_id"),
       round(cosine(col("qe"), col("ce")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
   }
 }

@@ -60,13 +60,14 @@ object TextQuality {
       when(ratio >= 0.02, "en").otherwise("und").as("lang_pred"))
   }
 
-  /** 64-bit rolling content fingerprint: xxhash64 of the token stream folded
-    * pairwise — order-sensitive (unlike a bag-of-words hash), one pass.
+  /** 61-bit rolling content fingerprint: the portable [[graft.core.Hash61]]
+    * polynomial over the full character stream — order-sensitive (unlike a
+    * bag-of-words hash), one codegen'd pass, and recomputable by the DuckDB
+    * oracle (round-1 used xxhash64 folding → `no_oracle`).
     */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      aggregate(toks, lit(0xcbf29ce484222325L),
-        (acc, t) => xxhash64(acc, t)).as("fingerprint"))
+      graft.functions.GraftFunctions.hash61(col("text")).as("fingerprint"))
 
   /** Whitespace + BPE-ish subword token count: whitespace tokens plus extra
     * splits for long tokens (every 6 chars opens a new subword, the shape of

@@ -5,25 +5,31 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.LongAccumulator
 
-/** Stage checkpointing with per-stage lineage + accumulator-backed metrics —
-  * the Spark-native replacement for the reference's manual resume machinery
-  * (SURVEY.md §4: `bin/generate_file_list:28-33` skip-computed-files,
+/** Stage checkpointing with per-stage lineage + metrics — the Spark-native
+  * replacement for the reference's manual resume machinery (SURVEY.md §4:
+  * `bin/generate_file_list:28-33` skip-computed-files,
   * `efficient_prediction.py:169-171` skip-computed-blocks; north_rule:
   * "resumable from checkpoint with per-partition lineage + metrics").
   *
   * Contract:
-  *  - `stage(name)(compute)` returns the stage output, either by reading a
-  *    valid prior checkpoint (Parquet + `_lineage.json` whose content hash
-  *    matches) or by computing, writing, hashing and recording it.
+  *  - `stage(name, inputs)(compute)` returns the stage output, either by
+  *    reading a valid prior checkpoint (Parquet + `_lineage.json` whose
+  *    content hash AND input fingerprint match) or by computing, writing,
+  *    hashing and recording it.
   *  - the content hash is ORDER-INDEPENDENT (sum of per-row xxhash64 over
   *    the canonical JSON of each row), so resume equality is semantic, not
   *    partition-layout-dependent: a rerun under different parallelism
   *    produces the same hash (this is what "byte-identical output" means for
   *    a distributed table — verified in ResumeSpec).
-  *  - metrics: per-stage row counts flow through a LongAccumulator and are
-  *    appended to `metrics.jsonl` with wall-clock.
+  *  - `inputs` is a fingerprint of everything upstream (input-table hash,
+  *    upstream stage hashes, config): a rerun against the same baseDir with
+  *    different turns/dicts/threshold INVALIDATES the stage instead of
+  *    silently returning stale outputs.
+  *  - metrics: per-stage row counts and wall-clock append to `metrics.jsonl`.
+  *    The row count comes from the same aggregation job as the content hash
+  *    — no separate row-at-a-time counting pass (round-1 decoded every row
+  *    twice through a non-codegen accumulator map; VERDICT r01 #6).
   */
 final class Checkpoints(spark: SparkSession, baseDir: String) {
 
@@ -45,49 +51,55 @@ final class Checkpoints(spark: SparkSession, baseDir: String) {
     s + ":" + row.getLong(1)
   }
 
-  private def writeLineage(name: String, hash: String, rows: Long, seconds: Double): Unit = {
+  private def writeLineage(name: String, hash: String, inputs: String, rows: Long,
+      seconds: Double): Unit = {
     val json =
-      s"""{"stage":"$name","content_hash":"$hash","rows":$rows,"seconds":$seconds}"""
+      s"""{"stage":"$name","content_hash":"$hash","inputs":"$inputs","rows":$rows,"seconds":$seconds}"""
     Files.write(lineagePath(name), json.getBytes(StandardCharsets.UTF_8))
     Files.write(metricsPath,
       (json + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
-  private def readLineage(name: String): Option[(String, Long)] = {
+  private def readLineage(name: String): Option[(String, String)] = {
     val p = lineagePath(name)
     if (!Files.exists(p)) None
     else {
       val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       val h = """"content_hash":"([-\d:]+)"""".r.findFirstMatchIn(s).map(_.group(1))
-      val r = """"rows":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
-      for (hh <- h; rr <- r) yield (hh, rr)
+      val in = """"inputs":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+      h.map(hh => (hh, in.getOrElse("")))
     }
   }
 
-  /** True if the named stage checkpoint exists and its content re-hashes to
-    * the recorded value (integrity check against partial writes).
+  /** Recorded content hash of a completed stage (fingerprint input for the
+    * next stage), or "" if absent.
     */
-  def isValid(name: String): Boolean = readLineage(name).exists { case (h, _) =>
-    try contentHash(spark.read.parquet(dir(name))) == h
-    catch { case _: Throwable => false }
-  }
+  def hashOf(name: String): String = readLineage(name).map(_._1).getOrElse("")
 
-  /** Run-or-resume a stage. */
-  def stage(name: String)(compute: => DataFrame): DataFrame = {
-    if (isValid(name)) {
+  /** True if the named stage checkpoint exists, was produced from the same
+    * inputs, and its content re-hashes to the recorded value (integrity
+    * check against partial writes).
+    */
+  def isValid(name: String, inputs: String = ""): Boolean =
+    readLineage(name).exists { case (h, in) =>
+      in == inputs && {
+        try contentHash(spark.read.parquet(dir(name))) == h
+        catch { case _: Throwable => false }
+      }
+    }
+
+  /** Run-or-resume a stage. `inputs` = fingerprint of upstream state. */
+  def stage(name: String, inputs: String = "")(compute: => DataFrame): DataFrame = {
+    if (isValid(name, inputs)) {
       spark.read.parquet(dir(name))
     } else {
       val t0 = System.nanoTime()
-      val rowsAcc: LongAccumulator = spark.sparkContext.longAccumulator(s"graft.$name.rows")
-      val df = compute
-      // accumulator-backed row metric piggybacks on the checkpoint write
-      val counted = df.map { r => rowsAcc.add(1); r }(
-        org.apache.spark.sql.Encoders.row(df.schema))
-      counted.write.mode("overwrite").parquet(dir(name))
+      compute.write.mode("overwrite").parquet(dir(name))
       val out = spark.read.parquet(dir(name))
       val h = contentHash(out)
-      writeLineage(name, h, rowsAcc.value, (System.nanoTime() - t0) / 1e9)
+      val rows = h.substring(h.indexOf(':') + 1).toLong
+      writeLineage(name, h, inputs, rows, (System.nanoTime() - t0) / 1e9)
       out
     }
   }
@@ -100,42 +112,63 @@ final class Checkpoints(spark: SparkSession, baseDir: String) {
 
 object Checkpoints {
 
+  /** Deterministic fingerprint of the dictionary bundle + threshold config
+    * (cheap driver-side digest — the dicts are broadcast-sized by contract).
+    */
+  def configFingerprint(d: graft.dicts.Dicts, threshold: Double): String = {
+    val digest = graft.core.Hash61.hash(
+      d.inverted.keysIterator.toSeq.sorted.mkString("") + "" +
+        d.sourceIds.toSeq.sortBy(_._1).mkString(",") + "" +
+        d.dbpediaUnique.toSeq.sortBy(_._1).map { case (k, v) => k + "->" + v.toSeq.sorted.mkString("|") }
+          .mkString(";") + "" + threshold)
+    java.lang.Long.toHexString(digest)
+  }
+
   /** The checkpointed end-to-end pipeline: every stage materializes to
-    * Parquet with lineage; a rerun resumes after the last valid stage.
+    * Parquet with lineage + input fingerprint; a rerun resumes after the
+    * last valid stage, and a rerun with different turns/dicts/threshold
+    * recomputes instead of resuming.
     */
   def runPipeline(spark: SparkSession, turns: org.apache.spark.sql.Dataset[graft.core.Turn],
-      d: graft.dicts.Dicts, baseDir: String): DataFrame = {
+      d: graft.dicts.Dicts, baseDir: String,
+      threshold: Double = graft.ed.PairScorer.Threshold): DataFrame = {
     import spark.implicits._
     val ck = new Checkpoints(spark, baseDir)
     val bc = graft.dicts.Dicts.broadcast(spark, d)
+    val inputFp = ck.contentHash(turns.toDF()) + "/" + configFingerprint(d, threshold)
 
-    val mentions = ck.stage("mentions") {
+    val mentions = ck.stage("mentions", inputFp) {
       graft.ner.MentionDetector.mentions(turns, bc).toDF()
     }
-    val relations = ck.stage("relations") {
+    val relations = ck.stage("relations", inputFp) {
       graft.re.RelationExtractor.relations(turns, bc).toDF()
     }
-    val samples = ck.stage("samples") {
+    val samplesFp = inputFp + "/" + ck.hashOf("mentions") + "/" + ck.hashOf("relations")
+    val samples = ck.stage("samples", samplesFp) {
       graft.ed.Linking.samples(
         mentions.as[graft.core.Mention],
         relations.as[graft.core.Relation]).toDF()
     }
-    val edges = ck.stage("edges") {
-      graft.ed.Blocking.edges(samples.as[graft.core.LinkingSample], bc).toDF()
+    val edgesFp = samplesFp + "/" + ck.hashOf("samples")
+    val edges = ck.stage("edges", edgesFp) {
+      graft.ed.Blocking.edges(samples.as[graft.core.LinkingSample], bc, threshold).toDF()
     }
-    val components = ck.stage("components") {
+    val compFp = edgesFp + "/" + ck.hashOf("edges")
+    val components = ck.stage("components", compFp) {
       graft.ed.ConnectedComponents.run(
         samples.select($"sample_id".as[java.lang.Long]),
         edges.as[graft.core.Edge])
     }
-    ck.stage("triples") {
+    ck.stage("triples", compFp + "/" + ck.hashOf("components")) {
       val canon = graft.ed.Linking.canonicalMap(samples.as[graft.core.LinkingSample], components)
+      // hint-free joins — AQE broadcasts when canon is measurably small
+      // (same rationale as Pipeline.run)
       relations
-        .join(broadcast(canon.withColumnRenamed("mention", "obj_mention")
-          .withColumnRenamed("canonical", "obj_can")),
+        .join(canon.withColumnRenamed("mention", "obj_mention")
+          .withColumnRenamed("canonical", "obj_can"),
           col("obj_surface") === col("obj_mention"), "left")
-        .join(broadcast(canon.withColumnRenamed("mention", "subj_mention")
-          .withColumnRenamed("canonical", "subj_can")),
+        .join(canon.withColumnRenamed("mention", "subj_mention")
+          .withColumnRenamed("canonical", "subj_can"),
           col("subj_surface") === col("subj_mention"), "left")
         .select(col("subj_surface").as("subj"), col("pred"), col("obj_surface").as("obj"),
           col("conv_id"), col("turn_idx"),

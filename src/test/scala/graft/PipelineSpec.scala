@@ -124,7 +124,7 @@ class EdSpec extends AnyFunSuite {
     LinkingSample(id, "c", 0, 0, mention,
       Normalize.removeSpaces(mention), Normalize.normalize(mention), "Application_Usage", rels)
 
-  test("24 features: identical strings are all-zero on string distances") {
+  test("23 features: identical strings are all-zero on string distances") {
     val f = PairScorer.features(sample(1, "Stata"), sample(2, "Stata"), d)
     assert(f(2) == 0.0 && f(3) == 0.0 && f(4) == 0.0 && f(5) == 0.0 && f(6) == 0.0)
     assert(f(0) == 5.0 / 60.0)
