@@ -277,6 +277,54 @@ object SparkEntry {
         .orderBy("class")
     }),
 
+    // --- P6: declarative tag remap (data_handler.py:85-97 + the 10
+    // SoMeSci transform tables): prefix-preserving BIO remap over the
+    // augmented-transcript mention labels (software + Version attributes).
+    "q_p6_remap" -> ((s, dir) => {
+      import graft.core.TagRemap
+      val m = MentionDetector.mentions(s, turns2(s, dir), Dicts.testdata).toDF()
+      def one(prefix: String, table: Map[String, String]) =
+        element_at(TagRemap.remapColumn(
+          array(concat(lit(prefix), col("label"))), table), 1)
+      m.select(col("conv_id"), col("turn_idx"), col("beg"), col("label"),
+          one("B-", TagRemap.Software).as("b_software"),
+          one("I-", TagRemap.SoftType).as("i_soft_type"),
+          one("B-", TagRemap.MentionType).as("b_mention_type"),
+          one("B-", TagRemap.AddInfo).as("b_add_info"))
+        .orderBy("conv_id", "turn_idx", "beg")
+    }),
+
+    // --- A7 (span level): true seqeval semantics — BIO tag arrays decoded
+    // with SpanMetrics.getEntities (the sequence_labeling.py port), spans
+    // compared as per-class sets. Pred = runs of P-tokens, gold = runs of
+    // G-tokens, class = run-initial token; the oracle recomputes the runs
+    // with gaps-and-islands SQL.
+    "q_a7_span_prf" -> ((s, dir) => {
+      import s.implicits._
+      val P = Set("spark", "hash", "sort", "scan", "merge")
+      val G = Set("spark", "hash", "merge", "window")
+      def spans(flagged: Set[String]) =
+        docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .as[(Long, Seq[String])]
+          .flatMap { case (id, toks) =>
+            val tags = Array.fill(toks.length)("O")
+            var i = 0
+            var runType = ""
+            while (i < toks.length) {
+              if (flagged(toks(i))) {
+                if (i == 0 || !flagged(toks(i - 1))) { runType = toks(i); tags(i) = s"B-$runType" }
+                else tags(i) = s"I-$runType"
+              }
+              i += 1
+            }
+            graft.core.SpanMetrics.getEntities(tags.toIndexedSeq)
+              .map { case (typ, b, e) => (id, typ, b, e) }
+          }
+          .toDF("doc_id", "label", "beg", "end")
+      graft.core.SpanMetrics.prfByClass(spans(P), spans(G), Seq("doc_id", "beg", "end"))
+        .orderBy("class")
+    }),
+
     // --- F1/F2: normalization functions (engine Scala vs SQL oracle) ---------
     "q_f1_normalize" -> ((s, dir) => {
       import s.implicits._
@@ -647,6 +695,71 @@ object SparkEntry {
           |            THEN round(sum(CASE WHEN in_pred AND in_gold THEN 1 ELSE 0 END) * 1.0 /
           |                       sum(CASE WHEN in_gold THEN 1 ELSE 0 END), 4) ELSE 0.0 END AS recall
           |FROM f2 GROUP BY token ORDER BY class""".stripMargin,
+
+      "q_p6_remap" ->
+        s"""WITH t2 AS ($turns2Sql),
+           |tok AS (
+           |  SELECT t2.conv_id, t2.turn_idx, t2.text,
+           |         unnest(string_split(t2.text, ' ')) AS token,
+           |         CAST(generate_subscripts(string_split(t2.text, ' '), 1) - 1 AS INT) AS pos
+           |  FROM t2),
+           |soft AS (
+           |  SELECT conv_id, turn_idx,
+           |         CAST(CASE WHEN pos = 0 THEN 0
+           |              ELSE length(array_to_string((string_split(text, ' '))[1:pos], ' ')) + 1
+           |         END AS INT) AS beg,
+           |         'Application_Mention' AS label
+           |  FROM tok WHERE token IN (${sqlList(softwareList)})),
+           |ver AS (
+           |  SELECT conv_id, turn_idx, CAST(length(text) - 3 AS INT) AS beg, 'Version' AS label
+           |  FROM t2 WHERE text LIKE '% version 2.1' OR text LIKE '% Spark version 3.2'),
+           |men AS (SELECT * FROM soft UNION ALL SELECT * FROM ver)
+           |SELECT conv_id, turn_idx, beg, label,
+           |       CASE WHEN label = 'Version' THEN 'O' ELSE 'B-Application' END AS b_software,
+           |       CASE WHEN label = 'Version' THEN 'O' ELSE 'I-Application' END AS i_soft_type,
+           |       CASE WHEN label = 'Version' THEN 'O' ELSE 'B-Mention' END AS b_mention_type,
+           |       CASE WHEN label = 'Version' THEN 'B-Version' ELSE 'O' END AS b_add_info
+           |FROM men ORDER BY conv_id, turn_idx, beg""".stripMargin,
+
+      "q_a7_span_prf" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+          |         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos
+          |  FROM documents),
+          |p0 AS (SELECT doc_id, token, pos,
+          |              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          |       FROM tok WHERE token IN ('spark', 'hash', 'sort', 'scan', 'merge')),
+          |g0 AS (SELECT doc_id, token, pos,
+          |              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          |       FROM tok WHERE token IN ('spark', 'hash', 'merge', 'window')),
+          |ps AS (SELECT doc_id, arg_min(token, pos) AS label, min(pos) AS beg, max(pos) AS e
+          |       FROM p0 GROUP BY doc_id, grp),
+          |gs AS (SELECT doc_id, arg_min(token, pos) AS label, min(pos) AS beg, max(pos) AS e
+          |       FROM g0 GROUP BY doc_id, grp),
+          |j AS (
+          |  SELECT coalesce(p.label, g.label) AS class,
+          |         p.doc_id IS NOT NULL AS in_p, g.doc_id IS NOT NULL AS in_g
+          |  FROM ps p FULL OUTER JOIN gs g
+          |    ON p.doc_id = g.doc_id AND p.label = g.label AND p.beg = g.beg AND p.e = g.e)
+          |SELECT class,
+          |       CAST(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          |       CAST(sum(CASE WHEN in_p AND NOT in_g THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          |       CAST(sum(CASE WHEN NOT in_p AND in_g THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          |       CASE WHEN sum(CASE WHEN in_p THEN 1 ELSE 0 END) > 0
+          |            THEN round(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END) * 1.0 /
+          |                       sum(CASE WHEN in_p THEN 1 ELSE 0 END), 4) ELSE 0.0 END AS precision,
+          |       CASE WHEN sum(CASE WHEN in_g THEN 1 ELSE 0 END) > 0
+          |            THEN round(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END) * 1.0 /
+          |                       sum(CASE WHEN in_g THEN 1 ELSE 0 END), 4) ELSE 0.0 END AS recall,
+          |       CASE WHEN 2 * sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END) +
+          |                 sum(CASE WHEN in_p AND NOT in_g THEN 1 ELSE 0 END) +
+          |                 sum(CASE WHEN NOT in_p AND in_g THEN 1 ELSE 0 END) > 0
+          |            THEN round(2.0 * sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END) /
+          |                       (2 * sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END) +
+          |                        sum(CASE WHEN in_p AND NOT in_g THEN 1 ELSE 0 END) +
+          |                        sum(CASE WHEN NOT in_p AND in_g THEN 1 ELSE 0 END)), 4)
+          |            ELSE 0.0 END AS f1
+          |FROM j GROUP BY class ORDER BY class""".stripMargin,
 
       "q_f1_normalize" ->
         s"""WITH base AS (SELECT doc_id, substr(text, 1, 40) AS snippet FROM documents),

@@ -1,6 +1,6 @@
 package graft.ed
 
-import graft.core.{Edge, LinkingSample}
+import graft.core.{Edge, LinkingSample, Mention, Tok}
 import graft.dicts.Dicts
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -41,6 +41,37 @@ object EdEval {
         sum(when(!col("pred") && !col("gold"), 1).otherwise(0)).as("tn"))
       .withColumn("precision", round(col("tp") / greatest(col("tp") + col("fp"), lit(1)), 4))
       .withColumn("recall", round(col("tp") / greatest(col("tp") + col("fn"), lit(1)), 4))
+  }
+
+  /** J6 — gold-standard linking join (`linking_data.py:68-72`,
+    * `feature_calculator.py:514-523`): gold rows are keyed by
+    * (document, RAW mention text); they attach to samples via document
+    * equality AND mention equality after the TOKENIZER is applied to both
+    * sides (the reference re-tokenizes the gold mention with articlenizer
+    * and space-joins before comparing). Returns (sample_id, gold_id) ready
+    * for [[pairMetrics]] — round-1 assumed gold arrived pre-keyed by
+    * sample_id.
+    *
+    * @param mentions detected mention occurrences (carry conv_id ↔ the
+    *                 reference's paper_id)
+    * @param gold     (conv_id, mention, gold_id) with free-form mention text
+    */
+  def goldIds(mentions: Dataset[Mention], gold: DataFrame): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    def tokJoin(s: String): String = Tok.tokens(s).map(_.surface).mkString(" ")
+    // both sides through the tokenizer; sample_id = xxhash64(surface) is the
+    // same keying Linking.samples uses, so the result joins onto components
+    val mside = mentions.map(m => (m.conv_id, tokJoin(m.surface), m.surface))
+      .toDF("conv_id", "tok_mention", "surface")
+      .select($"conv_id", $"tok_mention", xxhash64($"surface").as("sample_id"))
+      .distinct()
+    val gside = gold.select($"conv_id", $"mention", $"gold_id").as[(String, String, Long)]
+      .map { case (c, m, g) => (c, tokJoin(m), g) }
+      .toDF("conv_id", "tok_mention", "gold_id")
+    mside.join(gside, Seq("conv_id", "tok_mention"))
+      .select($"sample_id", $"gold_id")
+      .distinct()
   }
 
   /** G5 — score clustering quality at each threshold. Edges are scored ONCE

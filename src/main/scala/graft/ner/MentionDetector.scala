@@ -129,7 +129,12 @@ object MentionDetector {
         val pan = panCount(b, e)
         val strongHits = if (srcIds == null) 0 else srcIds.count(d.strongSources)
         val weakHit = srcIds != null && srcIds.nonEmpty
-        val isSoftware = strongHits >= 1 || (weakHit && pan >= 1) || pan >= 2
+        // F12 word-shape evidence (word_rules.py:1-23): an out-of-gazetteer
+        // CamelCase / all-caps token counts like a weak-dictionary hit — it
+        // still needs ≥1 contextual trigger, so lowercase corpora and plain
+        // capitalized sentence-starts never fire this path.
+        val shapeHit = len == 1 && !weakHit && WordShape.distinctiveShape(surfaces(b))
+        val isSoftware = strongHits >= 1 || ((weakHit || shapeHit) && pan >= 1) || pan >= 2
         if (isSoftware)
           accepted += ((b, e, if (srcIds == null) Array.empty[Int] else srcIds, pan, strongHits >= 1))
         b += 1

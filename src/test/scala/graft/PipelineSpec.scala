@@ -230,25 +230,76 @@ class PipelineSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length)
   }
 
-  test("P/R >= 0.95 gate vs golden expected triple set (A7 semantics)") {
-    val got = result.triples.collect()
-      .map(t => (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)).toSet
-    // the golden annotation of the fixture (FIXTURES.md §3)
-    val gold = Set(
-      ("c1", 1, "13.1", "Version_of", "Stata"),
-      ("c1", 1, "[ 30 ]", "Citation_of", "Stata"),
-      ("c1", 2, "Microsoft Corp. , Redmond", "Developer_of", "Excel"),
-      ("c1", 3, "IBM Corp.", "Developer_of", "SPSS"),
-      ("c1", 3, "21.0", "Version_of", "SPSS"),
-      ("c2", 0, "EEGLAB toolbox", "PlugIn_of", "MATLAB"),
-      ("c2", 2, "[ 12 ]", "Citation_of", "Statistical Package for the Social Sciences"),
-      ("c2", 3, "5", "Version_of", "GraphPad Prism"),
-      ("c2", 4, "3.8.2", "Version_of", "Python"),
-      ("c2", 4, "www.example.org/code", "URL_of", "Python"))
-    val tp = (got intersect gold).size.toDouble
-    val precision = if (got.isEmpty) 0.0 else tp / got.size
-    val recall = if (gold.isEmpty) 1.0 else tp / gold.size
-    assert(precision >= 0.95, s"precision=$precision got=${got -- gold}")
-    assert(recall >= 0.95, s"recall=$recall missing=${gold -- got}")
+  /** The golden annotation of the fixture (FIXTURES.md §3) in the
+    * reference's own BRAT standoff format (S6), one doc per annotated turn
+    * — loaded through graft.sources.Brat, char offsets self-checked
+    * against the turn texts below.
+    */
+  private val goldAnn: Map[(String, Int), String] = Map(
+    ("c1", 1) ->
+      """T1	Application_Usage 34 39	Stata
+        |T2	Version 40 44	13.1
+        |T3	Citation 54 60	[ 30 ]
+        |R1	Version_of Arg1:T2 Arg2:T1
+        |R2	Citation_of Arg1:T3 Arg2:T1	""".stripMargin,
+    ("c1", 2) ->
+      """T1	Application_Usage 23 28	Excel
+        |T2	Developer 31 56	Microsoft Corp. , Redmond
+        |R1	Developer_of Arg1:T2 Arg2:T1	""".stripMargin,
+    ("c1", 3) ->
+      """T1	Application_Usage 0 4	SPSS
+        |T2	Developer 7 16	IBM Corp.
+        |T3	Version 27 31	21.0
+        |R1	Developer_of Arg1:T2 Arg2:T1
+        |R2	Version_of Arg1:T3 Arg2:T1	""".stripMargin,
+    ("c2", 0) ->
+      """T1	PlugIn_Usage 41 55	EEGLAB toolbox
+        |T2	Application_Usage 60 66	MATLAB
+        |R1	PlugIn_of Arg1:T1 Arg2:T2	""".stripMargin,
+    ("c2", 2) ->
+      """T1	Application_Usage 17 60	Statistical Package for the Social Sciences
+        |T2	Citation 61 67	[ 12 ]
+        |R1	Citation_of Arg1:T2 Arg2:T1	""".stripMargin,
+    ("c2", 3) ->
+      """T1	Application_Usage 27 41	GraphPad Prism
+        |T2	Version 50 51	5
+        |R1	Version_of Arg1:T2 Arg2:T1	""".stripMargin,
+    ("c2", 4) ->
+      """T1	ProgrammingEnvironment_Usage 23 29	Python
+        |T2	Version 30 35	3.8.2
+        |T3	URL 51 71	www.example.org/code
+        |R1	Version_of Arg1:T2 Arg2:T1
+        |R2	URL_of Arg1:T3 Arg2:T1	""".stripMargin)
+
+  test("P/R >= 0.95 gate: BRAT gold + span-set seqeval semantics (S6 + A7)") {
+    import graft.sources.Brat
+    val spark0 = spark
+    import spark0.implicits._
+
+    // parse the BRAT literals; self-check offsets against the turn texts
+    val texts = Transcripts.fixture(spark).collect().map(t => (t.conv_id, t.turn_idx) -> t.text).toMap
+    val goldDocs = goldAnn.map { case ((c, i), ann) => Brat.parseDoc(s"$c#$i", ann) }.toSeq
+    for (doc <- goldDocs; e <- doc.entities) {
+      val Array(c, i) = doc.doc_id.split("#")
+      val text = texts((c, i.toInt))
+      assert(text.substring(e.beg, e.end) == e.surface,
+        s"gold offset drift in ${doc.doc_id}: ${e.id}")
+    }
+
+    // gold triples from the standoff relations (Arg1 = attribute/subject,
+    // Arg2 = software/object — the reference's argument order)
+    val goldTriples = goldDocs.flatMap { doc =>
+      val Array(c, i) = doc.doc_id.split("#")
+      val byId = doc.entities.map(e => e.id -> e).toMap
+      doc.relations.map(r =>
+        (c, i.toInt, byId(r.arg1).surface, r.typ, byId(r.arg2).surface))
+    }.toDF("conv_id", "turn_idx", "subj", "pred", "obj")
+
+    val predTriples = result.triples.toDF().select($"conv_id", $"turn_idx", $"subj", $"pred", $"obj")
+    val (precision, recall, f1) = graft.core.SpanMetrics.prfMicro(
+      predTriples, goldTriples, Seq("conv_id", "turn_idx", "subj", "obj"), "pred")
+    assert(precision >= 0.95, s"precision=$precision")
+    assert(recall >= 0.95, s"recall=$recall")
+    assert(f1 >= 0.95, s"f1=$f1")
   }
 }

@@ -1,0 +1,267 @@
+package graft
+
+import graft.core._
+import graft.dicts.Dicts
+import graft.ner.MentionDetector
+import graft.sources.{Brat, LinkingJson, RelationFile}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Hash61Spec extends AnyFunSuite {
+  test("pinned reference values (cross-checked against the DuckDB SQL form)") {
+    assert(Hash61.hash("hello world") == 348677905259091842L)
+    assert(Hash61.hash("") == 0L)
+    assert(Hash61.hash("a") == 861505634024003819L)
+    assert(Hash61.hash("spark") == 1635417048349624661L)
+    assert(Hash61.hash("Spark") == 1666687158205116981L)
+    assert(Hash61.hash("0:17") == 1300275674198398456L)
+  }
+
+  test("mulmod agrees with BigInt arithmetic") {
+    val rnd = new scala.util.Random(3)
+    val M = BigInt(Hash61.M)
+    for (_ <- 1 to 500) {
+      val x = math.abs(rnd.nextLong()) % Hash61.M
+      val y = math.abs(rnd.nextLong()) % Hash61.M
+      assert(BigInt(Hash61.mulmod(x, y)) == (BigInt(x) * BigInt(y)) % M)
+    }
+  }
+
+  test("native expression equals the Scala function") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val words = Seq("alpha", "beta gamma", "", "C++", "ünïcode")
+    val got = words.toDF("w")
+      .select(graft.functions.GraftFunctions.hash61(col("w"))).as[Long].collect()
+    assert(got.toSeq == words.map(Hash61.hash))
+  }
+}
+
+class SpanMetricsSpec extends AnyFunSuite {
+  import SpanMetrics.getEntities
+
+  test("seqeval doc example: B-PER I-PER O B-LOC") {
+    assert(getEntities(Seq("B-PER", "I-PER", "O", "B-LOC")) ==
+      Seq(("PER", 0, 1), ("LOC", 3, 3)))
+  }
+
+  test("IOBES: S and E tags open/close chunks") {
+    // S-X is a single-token chunk; B-X I-X E-X a three-token one
+    assert(getEntities(Seq("S-X", "B-Y", "I-Y", "E-Y", "O")) ==
+      Seq(("X", 0, 0), ("Y", 1, 3)))
+  }
+
+  test("type change mid-span splits the chunk") {
+    assert(getEntities(Seq("B-A", "I-B", "I-B")) == Seq(("A", 0, 0), ("B", 1, 2)))
+  }
+
+  test("orphan I- opens a chunk (seqeval O→I start rule)") {
+    assert(getEntities(Seq("O", "I-A", "I-A", "O")) == Seq(("A", 1, 2)))
+  }
+
+  test("bare tags get type '_'") {
+    assert(getEntities(Seq("B", "I", "O")) == Seq(("_", 0, 1)))
+  }
+
+  test("per-class set metrics over a distributed span table") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val pred = Seq((1L, "A", 0, 2), (1L, "A", 5, 6), (1L, "B", 9, 9), (2L, "A", 0, 0))
+      .toDF("doc_id", "label", "beg", "end")
+    val gold = Seq((1L, "A", 0, 2), (1L, "B", 9, 9), (2L, "B", 0, 0))
+      .toDF("doc_id", "label", "beg", "end")
+    val m = SpanMetrics.prfByClass(pred, gold, Seq("doc_id", "beg", "end"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m("A") == ((1L, 2L, 0L))) // tp=1 ([0,2]@1), fp=2 ([5,6]@1, [0,0]@2), fn=0
+    assert(m("B") == ((1L, 0L, 1L))) // tp=1 ([9,9]@1), fn=1 ([0,0]@2)
+    val (p, r, f) = SpanMetrics.prfMicro(pred, gold, Seq("doc_id", "beg", "end"))
+    assert(math.abs(p - 0.5) < 1e-9 && math.abs(r - 2.0 / 3) < 1e-9)
+    assert(f > 0.5 && f < 0.6)
+  }
+}
+
+class BratSpec extends AnyFunSuite {
+  test("reference example lines parse exactly (10.1371_journal.pone.0147923.ann)") {
+    val doc = Brat.parseDoc("d",
+      "T1\tApplication_Usage 185 190\tStata\n" +
+        "T2\tVersion 191 195\t13.1\n" +
+        "R1\tVersion_of Arg1:T2 Arg2:T1\t\n" +
+        "T3\tCitation 205 209\t[30]\n" +
+        "R2\tCitation_of Arg1:T3 Arg2:T1\t\n" +
+        "#1\tAnnotatorNotes T1\tcomment is skipped\n")
+    assert(doc.entities == Seq(
+      Brat.AnnEntity("T1", "Application_Usage", 185, 190, "Stata"),
+      Brat.AnnEntity("T2", "Version", 191, 195, "13.1"),
+      Brat.AnnEntity("T3", "Citation", 205, 209, "[30]")))
+    assert(doc.relations == Seq(
+      Brat.AnnRelation("R1", "Version_of", "T2", "T1"),
+      Brat.AnnRelation("R2", "Citation_of", "T3", "T1")))
+  }
+
+  test("discontinuous span normalizes to its envelope") {
+    val Some(Left(e)) = Brat.parseLine("T9\tURL 10 14;20 25\texample")
+    assert(e.beg == 10 && e.end == 25)
+  }
+
+  test("U2: txt∩ann intersection keeps only docs with both sides") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val ann = Brat.parse(Seq(("a", "T1\tVersion 0 1\tx"), ("b", "")).toDS())
+    val txt = Seq(("b", "some text"), ("c", "other")).toDF("doc_id", "text")
+    val joined = Brat.withText(ann, txt).select("doc_id").as[String].collect()
+    assert(joined.toSeq == Seq("b"))
+  }
+}
+
+class TagRemapSpec extends AnyFunSuite {
+  import TagRemap._
+
+  test("prefix-preserving remap (data_handler.py:85-97)") {
+    assert(remapTag("B-Application_Usage", Software) == "B-Application")
+    assert(remapTag("I-PlugIn_Mention", Software) == "I-Application")
+    assert(remapTag("B-Version", Software) == "O") // remap-to-O drops the prefix
+    assert(remapTag("O", Software) == "O")
+    assert(remapTag("I-OperatingSystem_Usage", SoftType) == "I-OperatingSystem")
+    assert(remapTag("B-Application_Deposition", MentionType) == "B-Deposition")
+    assert(remapTag("B-License", AddInfo) == "B-License")
+    assertThrows[NoSuchElementException](remapTag("B-NotAType", Software))
+  }
+
+  test("all ten reference transform tables ship and agree on the key sets") {
+    assert(ByName.size == 10)
+    // every tag table covers the same 23 keys: O + 13 combined labels
+    // (12 soft×mention + SoftwareCoreference_Deposition) + 9 attributes
+    val tagTables = Seq(Software, SoftType, MentionType, AddInfo, SoftAddInfo,
+      SoftRelations, SoftMentionType, KeepAll)
+    for (t <- tagTables) assert(t.keySet == Software.keySet)
+    assert(Software.keySet.size == 23)
+    // spot-check verbatim values from the JSON files
+    assert(SoftType("SoftwareCoreference_Deposition") == "SoftwareCoreference")
+    assert(MentionType("SoftwareCoreference_Deposition") == "Deposition")
+    assert(SoftAddInfo("OperatingSystem_Mention") == "Application")
+    assert(Relations == RelationNames.map(r => r -> r).toMap)
+  }
+
+  test("column remap equals scalar remap on BIO arrays") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val tags = Seq(Seq("O", "B-Application_Usage", "I-Application_Usage", "B-Version", "O"))
+    val got = tags.toDF("tags")
+      .select(remapColumn(col("tags"), Software).as("r")).as[Seq[String]].collect().head
+    assert(got == remapSeq(tags.head, Software))
+    assert(got == Seq("O", "B-Application", "I-Application", "O", "O"))
+  }
+}
+
+class WordShapeSpec extends AnyFunSuite {
+  import WordShape._
+
+  test("word_rules.py semantics pinned") {
+    assert(upperCased("SPSS") && !upperCased("Spss") && !upperCased("SPSS2"))
+    assert(firstCharUpper("Excel") && !firstCharUpper("SPSS") && !firstCharUpper("FreeSurfer"))
+    assert(mixedCase("FreeSurfer") && mixedCase("scikitLearn"))
+    assert(!mixedCase("Excel") && !mixedCase("SPSS") && !mixedCase("excel"))
+    assert(lowerCase("excel") && !lowerCase("Excel") && !lowerCase("excel2"))
+  }
+
+  test("sentence_rep punct / math-symbol classes (F14)") {
+    assert(isPunct("(") && isPunct(",") && !isPunct("ab") && !isPunct("a"))
+    assert(isMathSymbol("+") && isMathSymbol("=") && isMathSymbol("±"))
+    assert(!isMathSymbol("-") && !isMathSymbol("(")) // '-' is Pd, '(' is Ps
+  }
+
+  test("detector: out-of-gazetteer CamelCase tool via shape + trigger (F12)") {
+    val d = Dicts.fixture
+    // 'be perform use <>' trigger + distinctive shape, not in any dict
+    val hit = MentionDetector.detect("The analyses were performed using CamelTool .", d)
+    assert(hit.exists(s => s.typ.contains("_") && s.surface == "CamelTool"))
+    // same shape without trigger context → NOT a mention
+    val noTrigger = MentionDetector.detect("We looked at CamelTool yesterday .", d)
+    assert(!noTrigger.exists(_.typ.contains("_")))
+    // same trigger with a lowercase unknown token → NOT a mention (no shape)
+    val noShape = MentionDetector.detect("The analyses were performed using cameltool .", d)
+    assert(!noShape.exists(_.typ.contains("_")))
+  }
+}
+
+class GoldLinkingSpec extends AnyFunSuite {
+  test("J6: gold joins by (conv_id, tokenizer-equal mention), not sample ids") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val mentions = Seq(
+      Mention("c1", 1, "T1", "Application_Usage", 0, 5, "Stata"),
+      Mention("c2", 1, "T1", "Application_Usage", 0, 5, "STATA"),
+      Mention("c2", 2, "T1", "PlugIn_Usage", 0, 14, "EEGLAB toolbox")).toDS()
+    // gold mention text has raw spacing — the tokenizer normalizes both sides
+    val gold = Seq(("c1", "Stata", 7L), ("c2", "STATA", 7L), ("c2", "EEGLAB   toolbox", 8L))
+      .toDF("conv_id", "mention", "gold_id")
+    val ids = graft.ed.EdEval.goldIds(mentions, gold).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sid(s: String) = {
+      import org.apache.spark.sql.functions.{lit, xxhash64}
+      Seq(1).toDF("x").select(xxhash64(lit(s))).as[Long].collect().head
+    }
+    assert(ids == Set((sid("Stata"), 7L), (sid("STATA"), 7L), (sid("EEGLAB toolbox"), 8L)))
+  }
+}
+
+class FormatRoundTripSpec extends AnyFunSuite {
+  test("S5: relation-file line round-trips (data_handler.py:277-301)") {
+    val recs = Seq(
+      RelationFile.RelRecord("Version_of", "13.1", 40, 1, "Stata", 34, 0),
+      RelationFile.RelRecord("Citation_of", "[30]", 54, 2, "Stata", 34, 0))
+    val line = RelationFile.formatLine(recs)
+    assert(line == "Version_of\t13.1\t40\t1\tStata\t34\t0;;Citation_of\t[30]\t54\t2\tStata\t34\t0;;")
+    assert(RelationFile.parseLine(line) == recs)
+    assert(RelationFile.parseLine("").isEmpty)
+    assert(RelationFile.parseLine("   ").isEmpty)
+  }
+
+  test("S5: distributed emit groups per turn deterministically") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rels = Seq(
+      Relation("c1", 1, "Version_of", 40, "13.1", "Version", 34, "Stata", "Application_Usage"),
+      Relation("c1", 1, "Citation_of", 54, "[30]", "Citation", 34, "Stata", "Application_Usage")).toDS()
+    val lines = RelationFile.lines(rels).collect()
+    assert(lines.length == 1)
+    val parsed = RelationFile.parseLine(lines.head._3)
+    assert(parsed.map(_.typ).toSet == Set("Version_of", "Citation_of"))
+    // entity index is positional by begin offset (O4): Stata(34)→0, 13.1(40)→1, [30](54)→2
+    assert(parsed.find(_.typ == "Version_of").get.ent2_n == 0)
+  }
+
+  test("S7: linking JSON round-trips and re-keys like Linking.samples") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("linkjson").toString
+    val recs = Seq(
+      LinkingJson.LinkingRecord("Stata", 1, "p1", 34, 39, "T1", "Application_Usage",
+        Seq(RelInfo("Version_of", "13.1"))),
+      LinkingJson.LinkingRecord("Stata", 0, "p0", 2, 7, "T1", "Application_Usage", Nil),
+      LinkingJson.LinkingRecord("C + +", 2, "p2", 0, 5, "T2", "Application_Mention", Nil)).toDS()
+    LinkingJson.write(recs, s"$dir/out")
+    val back = LinkingJson.read(spark, s"$dir/out").collect().toSet
+    assert(back == recs.collect().toSet)
+    val samples = LinkingJson.toSamples(LinkingJson.read(spark, s"$dir/out")).collect()
+    assert(samples.length == 2) // dedup by mention
+    val stata = samples.find(_.mention == "Stata").get
+    assert(stata.conv_id == "p0" && stata.turn_idx == 0) // first occurrence wins
+    val cpp = samples.find(_.mention == "C + +").get
+    assert(cpp.string == "C++" && cpp.norm == "c") // remove_spaces / normalize recomputed
+  }
+}
+
+class RankingSpec extends AnyFunSuite {
+  test("two-phase dense ids equal the single-task global window") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val keys = rnd.shuffle((1 to 500).map(_.toLong * 7)).toSeq
+    val df = keys.toDF("fs").repartition(13)
+    val got = graft.ops.Ranking.denseIds(df, "fs", "vid")
+      .select("fs", "vid").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.map(_._1).toSeq == keys.sorted)
+    assert(got.map(_._2).toSeq == (1 to 500))
+  }
+}
