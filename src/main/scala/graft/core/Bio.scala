@@ -55,6 +55,37 @@ object Bio {
     decode(toks, tags).map(s => s.copy(surface = text.substring(s.beg, s.end)))
   }
 
+  /** W1 allocation-light form: token offsets as parallel primitive arrays
+    * (the detector's internal representation — avoids re-tokenizing and
+    * per-token objects on the hot path).
+    */
+  def decode(text: String, begs: Array[Int], ends: Array[Int], tags: IndexedSeq[String]): Vector[Span] = {
+    require(begs.length == tags.length, s"token/tag length mismatch: ${begs.length} vs ${tags.length}")
+    val out = Vector.newBuilder[Span]
+    var openTyp: String = null
+    var openBeg = 0
+    var openEnd = 0
+    def close(): Unit = if (openTyp != null) {
+      out += Span(openTyp, openBeg, openEnd, text.substring(openBeg, openEnd))
+      openTyp = null
+    }
+    var i = 0
+    while (i < begs.length) {
+      val tag = tags(i)
+      if (tag.startsWith("B-")) {
+        close()
+        openTyp = tag.substring(2); openBeg = begs(i); openEnd = ends(i)
+      } else if (tag.startsWith("I-")) {
+        val typ = tag.substring(2)
+        if (openTyp == typ) openEnd = ends(i)
+        else { close(); openTyp = typ; openBeg = begs(i); openEnd = ends(i) }
+      } else close()
+      i += 1
+    }
+    close()
+    out.result()
+  }
+
   /** W2 — repair a raw tag sequence (`fix_annotation`).
     * `software=true` → mid-span type change starts a new `B-`; otherwise the
     * previous type is inherited (`I-` of last tag).
@@ -84,7 +115,7 @@ object Bio {
       out(i) = ann
       i += 1
     }
-    out.toIndexedSeq
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out) // local array — no copy needed
   }
 
   /** A2 — Python-stable mode: value with max count; ties → the value whose

@@ -44,10 +44,20 @@ object Lemma {
   }
 
   /** Lemma of a token: closed-table lookup on the lowercase form, identity
-    * (lowercased) otherwise. Deterministic, total.
+    * (lowercased) otherwise. Deterministic, total. Skips the lowercase COPY
+    * when the token has no uppercase chars (the overwhelmingly common case
+    * in running text) — this runs once per token of the corpus.
     */
   def of(token: String): String = {
-    val lower = token.toLowerCase
+    var i = 0
+    var hasUpper = false
+    while (i < token.length && !hasUpper) {
+      val c = token.charAt(i)
+      if (c >= 'A' && c <= 'Z') hasUpper = true
+      else hasUpper = c.isUpper // non-ASCII uppercase
+      i += 1
+    }
+    val lower = if (hasUpper) token.toLowerCase else token
     Table.getOrElse(lower, lower)
   }
 }

@@ -68,7 +68,8 @@ object Blocking {
       samples: Dataset[LinkingSample],
       dicts: Broadcast[Dicts],
       threshold: Double = PairScorer.Threshold,
-      maxBlockSize: Int = 1000): Dataset[Edge] = {
+      maxBlockSize: Int = 1000,
+      scoredCounter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Edge] = {
     val spark = samples.sparkSession
     import spark.implicits._
 
@@ -104,6 +105,7 @@ object Blocking {
       .mapPartitions { it =>
         val d = dicts.value
         it.flatMap { case (sa, sb) =>
+          scoredCounter.foreach(_.add(1)) // evidence: pair scoring runs ONCE
           val dist = PairScorer.distance(sa, sb, d)
           if (dist <= threshold) Iterator(Edge(sa.sample_id, sb.sample_id, dist)) else Iterator.empty
         }

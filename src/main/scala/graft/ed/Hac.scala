@@ -1,0 +1,143 @@
+package graft.ed
+
+import graft.core.LinkingSample
+import graft.dicts.Dicts
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** G3 — hierarchical agglomerative clustering with single / complete /
+  * average linkage (`somenlp/entity_disambiguation/clustering.py:115-251`,
+  * `Clustering.cluster`). The reference's PRODUCTION path is single linkage
+  * (`configurations/PMC/ED/config_split.json`), which this engine realizes
+  * as connected components over thresholded edges; complete/average linkage
+  * change the merge criterion and cannot be expressed as CC — they need the
+  * true agglomerative loop.
+  *
+  * Reference semantics mirrored exactly:
+  *  - all clusters start as singletons; each round finds the GLOBAL minimum
+  *    cluster distance (linkage over all member-pair distances),
+  *  - ALL pairs within `math.isclose` of the minimum merge in the same
+  *    round, transitively (`_match_clusters`, clustering.py:188-200),
+  *  - stop when the global minimum exceeds the threshold
+  *    (clustering.py:236-238: merge while ≤ threshold).
+  *
+  * Spark shape: HAC is inherently sequential per candidate set, so the
+  * distributed form runs ONE INDEPENDENT HAC PER BLOCK inside `mapGroups`
+  * — blocks are the bounded candidate sets the blocking stage already
+  * produces (≤ maxBlock members), so the O(n³) inner loop is capped and
+  * every block clusters in parallel. Cross-block merging is out of scope by
+  * construction, exactly like the reference's per-candidate-set clustering
+  * in the split-evaluation path.
+  */
+object Hac {
+
+  /** Python `math.isclose` defaults: rel_tol 1e-9, abs_tol 0. */
+  private def isClose(a: Double, b: Double): Boolean =
+    math.abs(a - b) <= 1e-9 * math.max(math.abs(a), math.abs(b))
+
+  /** One HAC run over a bounded set. `dist(i, j)` is the pairwise item
+    * distance (indices into `ids`). Returns item id → cluster id, where the
+    * cluster id is the minimum member id (deterministic representative —
+    * the reference uses fresh integer ids, which are not stable keys).
+    */
+  def cluster(ids: IndexedSeq[Long], dist: (Int, Int) => Double,
+      linkage: String, threshold: Double): Map[Long, Long] = {
+    require(Set("single", "complete", "average")(linkage), s"unknown linkage $linkage")
+    val n = ids.length
+    if (n == 0) return Map.empty
+    if (n == 1) return Map(ids(0) -> ids(0))
+    // cache the item-pair distances once (the reference precomputes the
+    // condensed matrix)
+    val d = Array.tabulate(n, n)((i, j) => if (i == j) 0.0 else dist(math.min(i, j), math.max(i, j)))
+
+    var clusters: Map[Int, Vector[Int]] = (0 until n).map(i => i -> Vector(i)).toMap
+    var nextId = n
+    var done = false
+    while (!done && clusters.size > 1) {
+      // linkage distance between every cluster pair
+      def linkDist(a: Vector[Int], b: Vector[Int]): Double = {
+        val all = for (x <- a; y <- b) yield d(x)(y)
+        linkage match {
+          case "single"   => all.min
+          case "complete" => all.max
+          case "average"  => all.sum / all.length
+        }
+      }
+      val keys = clusters.keys.toIndexedSeq.sorted
+      var smallest = 1.0
+      var matches = Vector.empty[(Int, Int)]
+      for (ai <- keys.indices; bi <- ai + 1 until keys.length) {
+        val a = keys(ai); val b = keys(bi)
+        val v = linkDist(clusters(a), clusters(b))
+        if (isClose(smallest, v)) {
+          matches :+= ((a, b))
+        } else if (v < smallest) {
+          smallest = v
+          matches = Vector((a, b))
+        }
+      }
+      if (smallest > threshold || matches.isEmpty) done = true
+      else {
+        // transitive merge of all tied pairs (_match_clusters)
+        var groups = matches.map { case (a, b) => Set(a, b) }
+        var merged = true
+        while (merged) {
+          merged = false
+          var i = 0
+          while (i < groups.length && !merged) {
+            var j = i + 1
+            while (j < groups.length && !merged) {
+              if ((groups(i) & groups(j)).nonEmpty) {
+                groups = groups.updated(i, groups(i) | groups(j)).patch(j, Nil, 1)
+                merged = true
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        for (g <- groups) {
+          val members = g.toVector.flatMap(clusters(_))
+          clusters = clusters -- g
+          clusters += (nextId -> members)
+          nextId += 1
+        }
+      }
+    }
+    clusters.values.flatMap { members =>
+      val root = members.map(ids(_)).min
+      members.map(m => ids(m) -> root)
+    }.toMap
+  }
+
+  /** Distributed per-block HAC: samples group by their PRIMARY blocking key
+    * (the `n:` normalized surface by default — override `blockKey` for
+    * coarser candidate sets), each block clusters independently with the
+    * full [[PairScorer]] distance. Output (id, component) — same contract
+    * as [[ConnectedComponents.run]].
+    *
+    * Blocks beyond `maxBlock` members are truncated by deterministic
+    * sample_id rank (overflow members stay singletons) — the O(n³) loop
+    * must stay bounded; the reference simply OOMs on such sets.
+    */
+  def clusters(samples: Dataset[LinkingSample], dicts: Broadcast[Dicts],
+      threshold: Double, linkage: String,
+      blockKey: LinkingSample => String = s => s.norm,
+      maxBlock: Int = 256): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .groupByKey(blockKey)
+      .flatMapGroups { (_, it) =>
+        val all = it.toVector.sortBy(_.sample_id)
+        val (inBlock, overflow) = all.splitAt(maxBlock)
+        val d = dicts.value
+        val ids = inBlock.map(_.sample_id)
+        val assigned = cluster(ids, (i, j) => PairScorer.distance(inBlock(i), inBlock(j), d),
+          linkage, threshold)
+        assigned.iterator.map { case (id, root) => (id, root) } ++
+          overflow.iterator.map(s => (s.sample_id, s.sample_id))
+      }
+      .toDF("id", "component")
+  }
+}

@@ -105,6 +105,20 @@ object Linking {
         norm = Normalize.normalize(s.mention)))
   }
 
+  /** Audit for sample_id = xxhash64(surface) collisions: distinct surfaces
+    * sharing one id. The 64-bit birthday bound gives ~3% probability of ≥1
+    * collision at 10⁹ unique surfaces — run once when onboarding a corpus
+    * at that scale; a nonzero count means switching the key to 128 bits
+    * (pair of seeded xxhash64 columns). Below 10⁸ surfaces the bound is
+    * <0.03% and the check is skippable.
+    */
+  def sampleIdCollisions(samples: Dataset[LinkingSample]): Long = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples.groupBy($"sample_id").agg(countDistinct($"mention").as("n"))
+      .filter($"n" > 1).count()
+  }
+
   /** J9 canonical back-join: mention surface → component id. */
   def canonicalMap(samples: Dataset[LinkingSample], components: DataFrame): DataFrame = {
     val spark = samples.sparkSession

@@ -25,18 +25,9 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object MentionDetector {
 
-  // Token-class regexes (sentence_rep.py:13-21), anchored like Python re.match+$
-  private val UrlRe = ("^(https?\\://[a-zA-Z0-9\\-\\.]+[\\w/\\._\\-\\:~\\?=#%]*[\\w/_\\-\\:~\\?=#%]" +
-    "|ftp\\://[a-zA-Z0-9\\-\\.]+[\\w/\\._\\-\\:~\\?=#%]*[\\w/_\\-\\:~\\?=#%]" +
-    "|www\\.[a-zA-Z0-9\\-\\.]+[\\w/\\._\\-\\:~\\?=#%]*" +
-    "|[a-zA-Z0-9\\-\\.]+\\.(org|edu)/[\\w/_\\-\\:~\\?=#%]*)$").r
-  private val CitationRe = "^\\[[0-9\\-,\\?]+\\]$".r
-  private val FloatNumRe = "^\\d+\\.\\d*$".r
-  private val VersionLikeRe = "^(\\d+\\.){2}\\w*$".r
-  private val LongVersionRe = "^(\\d+\\.){3,8}\\w*$".r
-  private val VPrefixedRe = "^[vV]\\d+(\\.\\d+)*$".r
-  private val DigitsRe = "^\\d+$".r
-  private val CitationNumRe = "^[0-9\\-,\\?]+$".r
+  // Token classes (sentence_rep.py:13-21) — allocation-free char scans in
+  // core.TokenClass (regex Matchers were the dominant hot-path garbage;
+  // equivalence property-tested in TokenClassSpec)
 
   private val MainSoftTypes = Set("Application", "PlugIn", "ProgrammingEnvironment", "OperatingSystem")
   private val DeveloperMarkers = Set("inc.", "ltd.", "corp.", "apply", "inc", "ltd", "corp")
@@ -49,19 +40,46 @@ object MentionDetector {
       mentionType: String)
 
   def versionLike(t: String): Boolean =
-    FloatNumRe.findFirstIn(t).isDefined || VersionLikeRe.findFirstIn(t).isDefined ||
-      LongVersionRe.findFirstIn(t).isDefined || VPrefixedRe.findFirstIn(t).isDefined ||
-      DigitsRe.findFirstIn(t).isDefined
+    TokenClass.floatNum(t) || TokenClass.versionLikeNum(t) ||
+      TokenClass.longVersion(t) || TokenClass.vPrefixed(t) ||
+      TokenClass.digits(t)
 
   /** Pure per-turn detection. Returns mention spans sorted by `beg`, with
     * ids T1..Tn — the unit the Spark wrapper batches over partitions.
+    *
+    * Hot-path discipline: tokens live in parallel primitive/String arrays
+    * (no per-token objects), token classes are char scans — at 10¹² turns
+    * the per-turn allocation rate, not CPU, is what breaks scaling (see
+    * BASELINE.md host calibration).
     */
   def detect(text: String, d: Dicts): Vector[Span] = {
-    val toks = Tok.tokens(text)
-    val n = toks.length
+    // inline whitespace tokenization: pass 1 counts, pass 2 fills arrays
+    val tlen = text.length
+    var n = 0
+    var p = 0
+    while (p < tlen) {
+      while (p < tlen && text.charAt(p).isWhitespace) p += 1
+      if (p < tlen) { n += 1; while (p < tlen && !text.charAt(p).isWhitespace) p += 1 }
+    }
     if (n == 0) return Vector.empty
-    val surfaces = toks.map(_.surface)
-    val lemmas = surfaces.map(Lemma.of)
+    val begs = new Array[Int](n)
+    val ends = new Array[Int](n)
+    val surfaces = new Array[String](n)
+    val lemmas = new Array[String](n)
+    p = 0
+    var k = 0
+    while (p < tlen) {
+      while (p < tlen && text.charAt(p).isWhitespace) p += 1
+      if (p < tlen) {
+        val b = p
+        while (p < tlen && !text.charAt(p).isWhitespace) p += 1
+        begs(k) = b; ends(k) = p
+        val s = text.substring(b, p)
+        surfaces(k) = s
+        lemmas(k) = Lemma.of(s)
+        k += 1
+      }
+    }
 
     // --- F15 trigger rules over lemma context -------------------------------
     def leftLem(i: Int, k: Int): IndexedSeq[String] = lemmas.slice(math.max(i - k, 0), i)
@@ -181,7 +199,7 @@ object MentionDetector {
         softSpans.exists { p =>
           p.endTok <= s.begTok - 1 && (p.endTok - p.begTok) > 1 && {
             val pToks = surfaces.slice(p.begTok, p.endTok)
-            val pSurface = text.substring(toks(p.begTok).beg, toks(p.endTok - 1).end)
+            val pSurface = text.substring(begs(p.begTok), ends(p.endTok - 1))
             Normalize.acronym(pToks).contains(t.toLowerCase) || d.altNames(pSurface).contains(t)
           }
         }
@@ -200,18 +218,19 @@ object MentionDetector {
       mtTags(i) = p + s.mentionType
       stTags(i) = p + s.softType
     }
+    import scala.collection.immutable.ArraySeq.unsafeWrapArray
     val merged = Bio.merge(
-      Bio.fix(swTags.toIndexedSeq, software = true),
-      Bio.fix(mtTags.toIndexedSeq, software = false),
-      Bio.fix(stTags.toIndexedSeq, software = false))
-    val softwareMentions = Bio.decode(text, merged.toIndexedSeq)
+      Bio.fix(unsafeWrapArray(swTags), software = true),
+      Bio.fix(unsafeWrapArray(mtTags), software = false),
+      Bio.fix(unsafeWrapArray(stTags), software = false))
+    val softwareMentions = Bio.decode(text, begs, ends, merged.toIndexedSeq)
 
     // --- attribute spans over uncovered tokens ------------------------------
     val attrs = Vector.newBuilder[Span]
     def free(i: Int): Boolean = !covered(i)
     def claim(b: Int, e: Int): Unit = (b until e).foreach(covered(_) = true)
     def spanOf(b: Int, e: Int, typ: String): Span =
-      Span(typ, toks(b).beg, toks(e - 1).end, text.substring(toks(b).beg, toks(e - 1).end))
+      Span(typ, begs(b), ends(e - 1), text.substring(begs(b), ends(e - 1)))
 
     // demoted "( ABBR )" spans become Abbreviation attributes (keep covered)
     for ((b, e) <- demoted.result()) attrs += spanOf(b, e, "Abbreviation")
@@ -232,12 +251,12 @@ object MentionDetector {
     while (i < n) {
       val t = surfaces(i)
       if (free(i)) {
-        if (CitationRe.findFirstIn(t).isDefined) {
+        if (TokenClass.citation(t)) {
           claim(i, i + 1); attrs += spanOf(i, i + 1, "Citation")
         } else if (t == "[" && i + 2 < n && free(i + 1) && free(i + 2) &&
-          CitationNumRe.findFirstIn(surfaces(i + 1)).isDefined && surfaces(i + 2) == "]") {
+          TokenClass.citationNum(surfaces(i + 1)) && surfaces(i + 2) == "]") {
           claim(i, i + 3); attrs += spanOf(i, i + 3, "Citation")
-        } else if (UrlRe.findFirstIn(Lemma.of(t)).isDefined) {
+        } else if (TokenClass.url(Lemma.of(t))) {
           claim(i, i + 1); attrs += spanOf(i, i + 1, "URL")
         }
       }
@@ -260,7 +279,7 @@ object MentionDetector {
     // Abbreviation: free all-caps token equal to a software span's acronym or
     // a DBpedia alt name of its surface
     val softSurfaces = softSpans.map(s => (surfaces.slice(s.begTok, s.endTok),
-      text.substring(toks(s.begTok).beg, toks(s.endTok - 1).end)))
+      text.substring(begs(s.begTok), ends(s.endTok - 1))))
     i = 0
     while (i < n) {
       val t = surfaces(i)

@@ -224,6 +224,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(bySurface("MATLAB") != bySurface("Python"))
   }
 
+  test("pair scoring executes exactly once across all downstream consumers") {
+    // Pipeline.run has already materialized edges (CC runs inside it);
+    // further actions on ANY consumer must not re-run the scorer
+    result.triples.count()
+    val acc = result.scoredPairs.get
+    val afterRun = acc.value.longValue
+    assert(afterRun > 0, "scorer never ran?")
+    result.components.count()
+    result.triples.count()
+    result.edges.count()
+    assert(acc.value.longValue == afterRun,
+      s"pair scoring re-executed: $afterRun -> ${acc.value}")
+  }
+
+  test("no sample_id collisions on the fixture vocabulary") {
+    assert(graft.ed.Linking.sampleIdCollisions(result.samples) == 0L)
+  }
+
   test("canonical dedup keeps one row per (subj_canonical, pred, obj_canonical)") {
     val deduped = Pipeline.canonicalTriples(result.triples).collect()
     val keys = deduped.map(t => (t.subj_canonical, t.pred, t.obj_canonical))

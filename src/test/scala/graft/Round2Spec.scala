@@ -252,6 +252,93 @@ class FormatRoundTripSpec extends AnyFunSuite {
   }
 }
 
+class TokenClassSpec extends AnyFunSuite {
+  import TokenClass._
+  // the original anchored regexes (sentence_rep.py:13-21) as ground truth
+  private val Url = ("^(https?\\://[a-zA-Z0-9\\-\\.]+[\\w/\\._\\-\\:~\\?=#%]*[\\w/_\\-\\:~\\?=#%]" +
+    "|ftp\\://[a-zA-Z0-9\\-\\.]+[\\w/\\._\\-\\:~\\?=#%]*[\\w/_\\-\\:~\\?=#%]" +
+    "|www\\.[a-zA-Z0-9\\-\\.]+[\\w/\\._\\-\\:~\\?=#%]*" +
+    "|[a-zA-Z0-9\\-\\.]+\\.(org|edu)/[\\w/_\\-\\:~\\?=#%]*)$").r
+  private val cases = Map[String, (String => Boolean, scala.util.matching.Regex)](
+    "digits" -> ((digits _, "^\\d+$".r)),
+    "floatNum" -> ((floatNum _, "^\\d+\\.\\d*$".r)),
+    "versionLikeNum" -> ((versionLikeNum _, "^(\\d+\\.){2}\\w*$".r)),
+    "longVersion" -> ((longVersion _, "^(\\d+\\.){3,8}\\w*$".r)),
+    "vPrefixed" -> ((vPrefixed _, "^[vV]\\d+(\\.\\d+)*$".r)),
+    "citation" -> ((citation _, "^\\[[0-9\\-,\\?]+\\]$".r)),
+    "citationNum" -> ((citationNum _, "^[0-9\\-,\\?]+$".r)),
+    "url" -> ((url _, Url)))
+
+  test("char-scan classes ≡ the reference regexes on generated tokens") {
+    val alphabet = "0123456789.vVwx_-,?[]():/aborg.edu"
+    val rnd = new scala.util.Random(13)
+    val samples = Seq("", ".", "1", "13.1", "3.8.2", "1.2.3.4.5", "v2", "V1.0", "v.", "1.",
+      "1..2", "[30]", "[3-5,?]", "[]", "[x]", "www.example.org/code", "http://a.b/c",
+      "ftp://x.y", "a.org/", "a.edu/z", "software", "10.1371/journal", "1.2.x3", "12.",
+      "v1.2.3", "-", "?", "1,2") ++
+      (1 to 3000).map(_ => (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for ((name, (fn, re)) <- cases; s <- samples) {
+      assert(fn(s) == re.findFirstIn(s).isDefined, s"$name('$s')")
+    }
+  }
+}
+
+class HacSpec extends AnyFunSuite {
+  import graft.ed.Hac
+
+  private def mkDist(m: Map[(Int, Int), Double])(i: Int, j: Int): Double =
+    m.getOrElse((i, j), m((j, i)))
+
+  test("G3: linkage criterion changes the merge decision (clustering.py:115-251)") {
+    val ids = IndexedSeq(10L, 20L, 30L)
+    val d = mkDist(Map((0, 1) -> 0.1, (1, 2) -> 0.12, (0, 2) -> 0.5)) _
+    // single: {10,20} then chain through 0.12 → one cluster
+    assert(Hac.cluster(ids, d, "single", 0.2).values.toSet == Set(10L))
+    // complete: {10,20} vs {30} = max(0.12, 0.5) = 0.5 > 0.2 → stays apart
+    assert(Hac.cluster(ids, d, "complete", 0.2) == Map(10L -> 10L, 20L -> 10L, 30L -> 30L))
+    // average: (0.12+0.5)/2 = 0.31 — above 0.2, below 0.35
+    assert(Hac.cluster(ids, d, "average", 0.2).values.toSet.size == 2)
+    assert(Hac.cluster(ids, d, "average", 0.35).values.toSet == Set(10L))
+  }
+
+  test("G3: tied minimum pairs merge transitively in one round (_match_clusters)") {
+    val ids = IndexedSeq(1L, 2L, 3L)
+    val d = mkDist(Map((0, 1) -> 0.1, (1, 2) -> 0.1, (0, 2) -> 0.1)) _
+    assert(Hac.cluster(ids, d, "complete", 0.2).values.toSet == Set(1L))
+  }
+
+  test("G3: single-linkage HAC at threshold == union-find over thresholded edges") {
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 5) {
+      val n = 12
+      val ids = IndexedSeq.tabulate(n)(i => (i + 1).toLong)
+      val dm = (for (i <- 0 until n; j <- i + 1 until n) yield (i, j) -> rnd.nextDouble()).toMap
+      val thr = 0.25
+      val hac = Hac.cluster(ids, mkDist(dm), "single", thr)
+      // naive union-find over edges ≤ thr
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for (((i, j), v) <- dm if v <= thr) parent(find(i)) = find(j)
+      val expect = (0 until n).map(i => ids(i) -> ids((0 until n).filter(find(_) == find(i)).min)).toMap
+      assert(hac == expect)
+    }
+  }
+
+  test("G3: distributed per-block HAC groups case variants, bounds blocks") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def sample(id: Long, mention: String) =
+      LinkingSample(id, "c", 0, 0, mention, Normalize.removeSpaces(mention),
+        Normalize.normalize(mention), "Application_Usage", Nil)
+    val samples = Seq(sample(1, "Stata"), sample(2, "STATA"), sample(3, "SPSS")).toDS()
+    val bc = Dicts.broadcast(spark, Dicts.fixture)
+    val got = graft.ed.Hac.clusters(samples, bc, threshold = 0.13, linkage = "complete")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L)) // same norm block, distance 0
+    assert(got(3L) != got(1L))
+  }
+}
+
 class RankingSpec extends AnyFunSuite {
   test("two-phase dense ids equal the single-task global window") {
     val spark = SparkTestSession.spark
