@@ -205,6 +205,25 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx", "b1", "b2")
     }),
 
+    // --- F17/F18/A3/J3: the full RE pair-feature vector with gold labels ----
+    "q_f18_pair_features" -> ((s, dir) => {
+      val bc = Dicts.broadcast(s, Dicts.testdata)
+      graft.re.PairFeatures.pairs(turns2(s, dir), bc).toDF()
+        .orderBy("conv_id", "turn_idx", "ent0_beg", "ent1_beg")
+    }),
+
+    // --- G3: HAC complete linkage within normalize blocks -------------------
+    "q_g3_hac" -> ((s, dir) => {
+      import s.implicits._
+      val bc = Dicts.broadcast(s, Dicts.testdata)
+      val mentions = MentionDetector.mentions(s, turns2(s, dir), Dicts.testdata)
+      val samples = graft.ed.Linking.samples(mentions, s.emptyDataset[graft.core.Relation])
+      val comps = graft.ed.Hac.clusters(samples, bc, threshold = 0.13, linkage = "complete")
+      val member = samples.toDF().select(col("sample_id").as("id"), col("mention")).join(comps, "id")
+      val canon = member.groupBy("component").agg(min("mention").as("canon"))
+      member.join(canon, "component").select("mention", "canon").orderBy("mention")
+    }),
+
     // --- G2: connected components vs recursive-CTE oracle -------------------
     "q_g2_components" -> ((s, dir) => {
       import s.implicits._
@@ -632,6 +651,82 @@ object SparkEntry {
            |FROM men a JOIN men b
            |  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.beg != b.beg
            |ORDER BY a.conv_id, a.turn_idx, b1, b2""".stripMargin,
+
+      // Full F18 vector: all scalar features recomputed relationally; the
+      // turn surfaces are single tokens, so acronym() (needs >2 tokens) is
+      // None and the acronym flags are false — asserted here, pinned with
+      // multi-token cases in PairFeaturesSpec.
+      "q_f18_pair_features" ->
+        s"""WITH t2 AS ($turns2Sql),
+           |tok AS (
+           |  SELECT t2.conv_id, t2.turn_idx, t2.text,
+           |         unnest(string_split(t2.text, ' ')) AS token,
+           |         CAST(generate_subscripts(string_split(t2.text, ' '), 1) - 1 AS INT) AS pos
+           |  FROM t2),
+           |soft AS (
+           |  SELECT conv_id, turn_idx, text, token AS surface,
+           |         CAST(CASE WHEN pos = 0 THEN 0
+           |              ELSE length(array_to_string((string_split(text, ' '))[1:pos], ' ')) + 1
+           |         END AS INT) AS beg,
+           |         'Application_Mention' AS label
+           |  FROM tok WHERE token IN (${sqlList(softwareList)})),
+           |ver AS (
+           |  SELECT conv_id, turn_idx, text, right(text, 3) AS surface,
+           |         CAST(length(text) - 3 AS INT) AS beg, 'Version' AS label
+           |  FROM t2 WHERE text LIKE '% version 2.1' OR text LIKE '% Spark version 3.2'),
+           |men AS (
+           |  SELECT *, CAST(beg + length(surface) AS INT) AS e,
+           |         sum(CASE WHEN label = 'Application_Mention' THEN 1 ELSE 0 END)
+           |           OVER (PARTITION BY conv_id, turn_idx) AS mc
+           |  FROM (SELECT * FROM soft UNION ALL SELECT * FROM ver)),
+           |ls AS (SELECT conv_id, turn_idx, max(beg) AS obj_beg FROM men
+           |       WHERE label = 'Application_Mention' GROUP BY 1, 2),
+           |pr AS (
+           |  SELECT a.conv_id, a.turn_idx, a.text, a.mc,
+           |         a.surface AS s0, a.beg AS b0, a.e AS e0, a.label AS l0,
+           |         b.surface AS s1, b.beg AS b1, b.e AS e1, b.label AS l1,
+           |         CASE WHEN a.beg > b.beg THEN b.e ELSE a.e END AS se,
+           |         greatest(a.beg, b.beg) AS lb
+           |  FROM men a JOIN men b
+           |    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.beg != b.beg)
+           |SELECT pr.conv_id, pr.turn_idx,
+           |       b0 AS ent0_beg, s0 AS ent0_surface, b1 AS ent1_beg, s1 AS ent1_surface,
+           |       CAST(lb - se AS INT) AS entity_distance_abs,
+           |       CAST(len(list_filter(string_split(substr(text, se + 1, lb - se), ' '),
+           |            x -> x != '')) AS INT) AS entity_distance_tok,
+           |       b1 > b0 AS entity_order,
+           |       CAST(e0 - b0 AS INT) AS entity_0_char_length,
+           |       1 AS entity_0_token_length,
+           |       CAST(e1 - b1 AS INT) AS entity_1_char_length,
+           |       1 AS entity_1_token_length,
+           |       CAST(mc AS INT) AS num_main_entities,
+           |       contains(lower(s1), lower(s0)) AS entity_0_substring_of_entity_1,
+           |       FALSE AS acronym_entity_0_substring_of_entity_1,
+           |       FALSE AS acronym_entity_0_substring_of_acronym_entity_1,
+           |       contains(lower(s0), lower(s1)) AS entity_1_substring_of_entity_0,
+           |       FALSE AS acronym_entity_1_substring_of_entity_0,
+           |       FALSE AS acronym_entity_1_substring_of_acronym_entity_0,
+           |       CASE WHEN l0 = 'Version' THEN 'Version' ELSE 'Application' END AS entity_0_type,
+           |       CASE WHEN l0 = 'Version' THEN 'None' ELSE 'Mention' END AS mention_0_type,
+           |       CASE WHEN l1 = 'Version' THEN 'Version' ELSE 'Application' END AS entity_1_type,
+           |       CASE WHEN l1 = 'Version' THEN 'None' ELSE 'Mention' END AS mention_1_type,
+           |       CASE WHEN l0 = 'Version' AND ls.obj_beg = b1 THEN 'Version_of' ELSE 'none' END AS label
+           |FROM pr LEFT JOIN ls ON pr.conv_id = ls.conv_id AND pr.turn_idx = ls.turn_idx
+           |ORDER BY pr.conv_id, pr.turn_idx, ent0_beg, ent1_beg""".stripMargin,
+
+      // HAC complete linkage: on this corpus the only intra-block pair is
+      // the case-variant ("spark","Spark") at distance 0 — the grouping is
+      // exactly lower(surface), canonical = min member surface.
+      "q_g3_hac" ->
+        s"""WITH t2 AS ($turns2Sql),
+           |tok AS (
+           |  SELECT t2.conv_id, t2.turn_idx,
+           |         unnest(string_split(t2.text, ' ')) AS token
+           |  FROM t2),
+           |surf AS (SELECT DISTINCT token AS mention FROM tok
+           |         WHERE token IN (${sqlList(softwareList)}))
+           |SELECT mention, min(mention) OVER (PARTITION BY lower(mention)) AS canon
+           |FROM surf ORDER BY mention""".stripMargin,
 
       "q_g2_components" ->
         """WITH RECURSIVE d AS (

@@ -339,6 +339,50 @@ class HacSpec extends AnyFunSuite {
   }
 }
 
+class PairFeaturesSpec extends AnyFunSuite {
+  import graft.re.PairFeatures
+  private val d = Dicts.fixture
+  private def turn(text: String) =
+    Turn("c", 0, "user", text, null, java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+
+  test("F18: acronym flags on a multi-token mention (features.py:190-230)") {
+    val text = "We used the Statistical Package for the Social Sciences ( SPSS ) here ."
+    val spans = MentionDetector.detect(text, d)
+    val rows = PairFeatures.forTurn(turn(text), spans, Nil)
+    val long = "Statistical Package for the Social Sciences"
+    val r = rows.find(x => x.ent0_surface == long && x.ent1_surface == "SPSS").get
+    // acronym(long form) = "spss" (stopwords dropped) ⊆ "SPSS" casefolded
+    assert(r.acronym_entity_0_substring_of_entity_1)
+    assert(!r.entity_0_substring_of_entity_1) // the long form is not inside "SPSS"
+    assert(r.entity_0_token_length == 6 && r.entity_1_token_length == 1)
+    assert(r.entity_order) // SPSS begins after the long form
+    assert(r.entity_0_type == "Application" && r.entity_1_type == "Abbreviation")
+    assert(r.mention_1_type == "None")
+    // distance features: chars and tokens between span ends ("( " before SPSS)
+    assert(r.entity_distance_abs == text.indexOf("SPSS") - (text.indexOf(long) + long.length))
+    assert(r.entity_distance_tok == 1) // the "(" token
+  }
+
+  test("J3: gold label attaches on (subj_beg, obj_beg); others default to none") {
+    val text = "All analyses were performed using Stata 13.1 software [ 30 ] ."
+    val spans = MentionDetector.detect(text, d)
+    val gold = graft.re.RelationExtractor.classify(text, spans).map { case (s, p, m) =>
+      Relation("c", 0, p, s.beg, s.surface, s.typ, m.beg, m.surface, m.typ)
+    }
+    val rows = PairFeatures.forTurn(turn(text), spans, gold)
+    assert(rows.exists(r => r.ent0_surface == "13.1" && r.ent1_surface == "Stata" && r.label == "Version_of"))
+    assert(rows.exists(r => r.ent0_surface == "[ 30 ]" && r.ent1_surface == "Stata" && r.label == "Citation_of"))
+    // reversed order is a different candidate → none
+    assert(rows.find(r => r.ent0_surface == "Stata" && r.ent1_surface == "13.1").get.label == "none")
+    assert(rows.forall(_.num_main_entities == 1))
+  }
+
+  test("F17: one-hot expansion raises on unknown type") {
+    assert(PairFeatures.oneHot(PairFeatures.EntityTypes, "Version").sum == 1)
+    assertThrows[IllegalArgumentException](PairFeatures.oneHot(PairFeatures.EntityTypes, "Nope"))
+  }
+}
+
 class RankingSpec extends AnyFunSuite {
   test("two-phase dense ids equal the single-task global window") {
     val spark = SparkTestSession.spark
