@@ -205,6 +205,21 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx", "b1", "b2")
     }),
 
+    // --- S4/A4: per-token custom feature matrix — rule-hit counts per
+    // covered token over all candidate spans + per-source dictionary counts
+    // (gen_custom_features.py:15-46), computed inline, shuffle-free.
+    "q_a4_token_features" -> ((s, dir) => {
+      val bc = Dicts.broadcast(s, Dicts.testdata)
+      val m = graft.ner.TokenFeatures.matrix(Transcripts.fromDocuments(s, dir), bc).toDF()
+      val ruleCols = graft.ner.TokenFeatures.RuleNames.zipWithIndex.map { case (rn, i) =>
+        element_at(col("rule_counts"), i + 1).as(rn)
+      }
+      m.select(Seq(col("conv_id"), col("turn_idx"), col("pos"), col("token")) ++ ruleCols ++ Seq(
+          element_at(col("dict_counts"), 1).as("d_wikidata"),
+          element_at(col("dict_counts"), 2).as("d_wiktionary")): _*)
+        .orderBy("conv_id", "turn_idx", "pos")
+    }),
+
     // --- F17/F18/A3/J3: the full RE pair-feature vector with gold labels ----
     "q_f18_pair_features" -> ((s, dir) => {
       val bc = Dicts.broadcast(s, Dicts.testdata)
@@ -651,6 +666,76 @@ object SparkEntry {
            |FROM men a JOIN men b
            |  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.beg != b.beg
            |ORDER BY a.conv_id, a.turn_idx, b1, b2""".stripMargin,
+
+      // A4: rule counting over all candidate spans, arrays + gaps SQL; the
+      // closed lemma table is inlined as a CASE generated from Lemma.Table.
+      "q_a4_token_features" -> {
+        val lemCase = "CASE lower(token) " +
+          graft.core.Lemma.Table.toSeq.filter(kv => kv._1 != kv._2).sortBy(_._1)
+            .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ") +
+          " ELSE lower(token) END"
+        val wikidata = sqlList(softwareList)
+        val wiktionary = sqlList(Seq("table", "value", "data", "row", "line"))
+        s"""WITH tr AS (${Transcripts.fromDocumentsSql}),
+           |tok AS (
+           |  SELECT tr.conv_id, tr.turn_idx,
+           |         unnest(string_split(tr.text, ' ')) AS token,
+           |         CAST(generate_subscripts(string_split(tr.text, ' '), 1) - 1 AS INT) AS pos
+           |  FROM tr),
+           |lem AS (SELECT *, $lemCase AS lm FROM tok),
+           |arr AS (
+           |  SELECT conv_id, turn_idx, list(lm ORDER BY pos) AS L,
+           |         list(token ORDER BY pos) AS T, count(*) AS n
+           |  FROM lem GROUP BY 1, 2),
+           |bpos AS (SELECT conv_id, turn_idx, n, L, T, unnest(range(n)) AS b FROM arr),
+           |cand0 AS (SELECT *, unnest([1, 2, 3, 4, 5, 6]) AS len FROM bpos),
+           |cand AS (
+           |  SELECT conv_id, turn_idx, n, L, T,
+           |         CAST(b AS INT) AS b, CAST(b + len AS INT) AS e,
+           |         length(array_to_string(T[CAST(b + 1 AS INT):CAST(b + len AS INT)], ' ')) AS scl,
+           |         array_to_string(T[CAST(b + 1 AS INT):CAST(b + len AS INT)], ' ') AS span
+           |  FROM cand0 WHERE b + len <= n),
+           |f AS (
+           |  SELECT conv_id, turn_idx, b, e,
+           |    (b >= 1 AND e < n AND L[b] = 'use' AND L[e + 1] = 'software') AS r1,
+           |    (b >= 2 AND L[b - 1] = 'perform' AND L[b] = 'use') AS r2,
+           |    (b >= 3 AND L[b - 2] = 'be' AND L[b - 1] = 'perform' AND L[b] = 'use') AS r3,
+           |    (b >= 4 AND L[b - 3] = 'analysis' AND L[b - 2] = 'be' AND L[b - 1] = 'perform' AND L[b] = 'use') AS r4,
+           |    (b >= 2 AND L[b - 1] IN ('analyze', 'analyse') AND L[b] = 'use') AS r5,
+           |    (b >= 4 AND L[b - 3] = 'analysis' AND L[b - 2] = 'be' AND L[b - 1] = 'perform' AND L[b] = 'with') AS r6,
+           |    (e + 1 < n AND L[e + 1] = 'statistical' AND L[e + 2] = 'software') AS r7,
+           |    (e + 2 < n AND L[e + 1] = 'software' AND L[e + 2] = 'be' AND L[e + 3] = 'use') AS r8,
+           |    (scl != 1 AND b >= 1 AND e < n AND T[b] IN ('(', '[', '{') AND T[e + 1] IN (')', ']', '}')) AS r9,
+           |    (scl != 1 AND b >= 1 AND e < n AND T[b] = '(' AND T[e + 1] = ')' AND
+           |     len(list_filter(T[CAST(b + 1 AS INT):e], x -> lower(x) IN ('inc.', 'ltd.', 'corp.', 'apply', 'inc', 'ltd', 'corp'))) > 0) AS r10,
+           |    (span IN ($wikidata)) AS d0,
+           |    (span IN ($wiktionary)) AS d1
+           |  FROM cand),
+           |cov AS (
+           |  SELECT conv_id, turn_idx, CAST(unnest(range(b, e)) AS INT) AS pos,
+           |         r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, d0, d1
+           |  FROM f),
+           |agg AS (
+           |  SELECT conv_id, turn_idx, pos,
+           |         CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS INT) AS pan_top_1,
+           |         CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS INT) AS pan_top_2,
+           |         CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS INT) AS pan_top_3,
+           |         CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS INT) AS pan_top_4,
+           |         CAST(sum(CASE WHEN r5 THEN 1 ELSE 0 END) AS INT) AS pan_top_5,
+           |         CAST(sum(CASE WHEN r6 THEN 1 ELSE 0 END) AS INT) AS pan_top_6,
+           |         CAST(sum(CASE WHEN r7 THEN 1 ELSE 0 END) AS INT) AS pan_top_7,
+           |         CAST(sum(CASE WHEN r8 THEN 1 ELSE 0 END) AS INT) AS pan_top_8,
+           |         CAST(sum(CASE WHEN r9 THEN 1 ELSE 0 END) AS INT) AS text_is_in_brackets,
+           |         CAST(sum(CASE WHEN r10 THEN 1 ELSE 0 END) AS INT) AS developer,
+           |         CAST(sum(CASE WHEN d0 THEN 1 ELSE 0 END) AS INT) AS d_wikidata,
+           |         CAST(sum(CASE WHEN d1 THEN 1 ELSE 0 END) AS INT) AS d_wiktionary
+           |  FROM cov GROUP BY 1, 2, 3)
+           |SELECT a.conv_id, a.turn_idx, a.pos, t.token,
+           |       pan_top_1, pan_top_2, pan_top_3, pan_top_4, pan_top_5, pan_top_6,
+           |       pan_top_7, pan_top_8, text_is_in_brackets, developer, d_wikidata, d_wiktionary
+           |FROM agg a JOIN tok t ON a.conv_id = t.conv_id AND a.turn_idx = t.turn_idx AND a.pos = t.pos
+           |ORDER BY a.conv_id, a.turn_idx, a.pos""".stripMargin
+      },
 
       // Full F18 vector: all scalar features recomputed relationally; the
       // turn surfaces are single tokens, so acronym() (needs >2 tokens) is

@@ -103,6 +103,28 @@ object TokenClass {
     true
   }
 
+  /** ^\.\d+$ (FLOAT_NON_LEADING, sentence_rep.py:17) */
+  def floatNonLeading(t: String): Boolean = {
+    if (t.length < 2 || t.charAt(0) != '.') return false
+    var i = 1
+    while (i < t.length) { if (!isDigit(t.charAt(i))) return false; i += 1 }
+    true
+  }
+
+  /** ^(\d{1,3},){1,8}\d{3}$ (LONG_NUM, sentence_rep.py:20) */
+  def longNum(t: String): Boolean = {
+    var i = 0
+    var groups = 0
+    while (groups <= 8) {
+      val start = i
+      while (i < t.length && isDigit(t.charAt(i)) && i - start < 3) i += 1
+      val digits = i - start
+      if (i < t.length && t.charAt(i) == ',' && digits >= 1) { groups += 1; i += 1 }
+      else return groups >= 1 && groups <= 8 && digits == 3 && i == t.length
+    }
+    false
+  }
+
   private val UrlRe = ("^(https?\\://[a-zA-Z0-9\\-\\.]+[\\w/\\._\\-\\:~\\?=#%]*[\\w/_\\-\\:~\\?=#%]" +
     "|ftp\\://[a-zA-Z0-9\\-\\.]+[\\w/\\._\\-\\:~\\?=#%]*[\\w/_\\-\\:~\\?=#%]" +
     "|www\\.[a-zA-Z0-9\\-\\.]+[\\w/\\._\\-\\:~\\?=#%]*" +

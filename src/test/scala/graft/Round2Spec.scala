@@ -383,6 +383,43 @@ class PairFeaturesSpec extends AnyFunSuite {
   }
 }
 
+class TokenFeaturesSpec extends AnyFunSuite {
+  import graft.ner.TokenFeatures
+  private def idx(r: String) = TokenFeatures.RuleNames.indexOf(r)
+
+  test("A4: rule hits count once per covered token per matching span") {
+    val d = Dicts.fixture
+    // tokens: The(0) analyses(1) were(2) performed(3) using(4) Stata(5)
+    //         software(6) daily(7) .(8) — n = 9
+    val rows = TokenFeatures.forTurn("c", 0,
+      "The analyses were performed using Stata software daily .", d)
+    val stata = rows.find(_.token == "Stata").get
+    // pan_top_1 (use <> software) fires only for the len-1 span [5,6)
+    assert(stata.rule_counts(idx("pan_top_1")) == 1)
+    // pan_top_2/3/4 (left contexts) fire for EVERY span starting at 5:
+    // lengths 1..4 fit in the sentence → count 4 on the covered token
+    assert(stata.rule_counts(idx("pan_top_2")) == 4)
+    assert(stata.rule_counts(idx("pan_top_4")) == 4)
+    assert(stata.dict_counts(0) == 1) // wikidata_software membership, len-1 span
+    val software = rows.find(_.token == "software").get
+    // covered by the b=5 spans of lengths 2..4 → 3 increments
+    assert(software.rule_counts(idx("pan_top_2")) == 3)
+    assert(software.headwords.head) // 'software' is Headwords(0)
+    assert(rows.forall(r => r.rule_counts.length == 10))
+  }
+
+  test("A4: brackets/developer rules respect the char-length-1 gate") {
+    val d = Dicts.fixture
+    val rows = TokenFeatures.forTurn("c", 0, "Excel ( Microsoft Corp. ) rocks .", d)
+    val ms = rows.find(_.token == "Microsoft").get
+    assert(ms.rule_counts(idx("text_is_in_brackets")) >= 1)
+    assert(ms.rule_counts(idx("developer")) >= 1)
+    // a single-char span inside brackets is gated out (len(base_span) != 1)
+    val one = TokenFeatures.forTurn("c", 0, "x ( y ) z", d).find(_.token == "y").get
+    assert(one.rule_counts(idx("text_is_in_brackets")) == 0)
+  }
+}
+
 class RankingSpec extends AnyFunSuite {
   test("two-phase dense ids equal the single-task global window") {
     val spark = SparkTestSession.spark
