@@ -43,6 +43,23 @@ object EdEval {
       .withColumn("recall", round(col("tp") / greatest(col("tp") + col("fn"), lit(1)), 4))
   }
 
+  /** U5 — merge edge sets from separate scoring runs (new-vs-new,
+    * new-vs-old, eval: `bin/evaluate_large_scale_prediction:115-122`). The
+    * reference offsets indices to merge id spaces; sample ids here are
+    * globally keyed (xxhash64 of the surface), so the merge is a union that
+    * normalizes direction (src < dst) and keeps the MINIMUM distance per
+    * undirected pair (single-linkage semantics: the best evidence links).
+    */
+  def mergeEdgeSets(sets: Seq[Dataset[Edge]]): Dataset[Edge] = {
+    require(sets.nonEmpty)
+    val spark = sets.head.sparkSession
+    import spark.implicits._
+    sets.map(_.toDF()).reduce(_ unionByName _)
+      .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"), $"dist")
+      .groupBy($"src", $"dst").agg(min($"dist").as("dist"))
+      .as[Edge]
+  }
+
   /** J6 — gold-standard linking join (`linking_data.py:68-72`,
     * `feature_calculator.py:514-523`): gold rows are keyed by
     * (document, RAW mention text); they attach to samples via document

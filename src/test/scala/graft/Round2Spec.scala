@@ -383,6 +383,17 @@ class PairFeaturesSpec extends AnyFunSuite {
   }
 }
 
+class MergeEdgeSetsSpec extends AnyFunSuite {
+  test("U5: direction-normalized union keeps min dist per pair") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val a = Seq(Edge(1, 2, 0.10), Edge(3, 4, 0.05)).toDS()
+    val b = Seq(Edge(2, 1, 0.02), Edge(5, 6, 0.07)).toDS()
+    val got = graft.ed.EdEval.mergeEdgeSets(Seq(a, b)).collect().toSet
+    assert(got == Set(Edge(1, 2, 0.02), Edge(3, 4, 0.05), Edge(5, 6, 0.07)))
+  }
+}
+
 class TokenFeaturesSpec extends AnyFunSuite {
   import graft.ner.TokenFeatures
   private def idx(r: String) = TokenFeatures.RuleNames.indexOf(r)
