@@ -383,6 +383,49 @@ class PairFeaturesSpec extends AnyFunSuite {
   }
 }
 
+class TableIOSpec extends AnyFunSuite {
+  import graft.io.TableIO
+
+  test("snapshot commit, pointer flip, time travel, vacuum") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("tableio").toString + "/triples"
+    assert(TableIO.currentSnapshot(base) == -1L)
+    val s0 = TableIO.writeSnapshot(Seq((1, "a"), (2, "b")).toDF("k", "v"), base, Seq("k"))
+    assert(s0 == 0L)
+    val s1 = TableIO.writeSnapshot(Seq((3, "c")).toDF("k", "v"), base, Seq("k"))
+    assert(s1 == 1L && TableIO.currentSnapshot(base) == 1L)
+    // current read sees only the latest commit; time travel sees the old one
+    assert(TableIO.read(spark, base).count() == 1)
+    assert(TableIO.readSnapshot(spark, base, 0).count() == 2)
+    // partition directories exist (pruning-capable layout)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/snapshot=1/k=3")))
+    TableIO.vacuum(base)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/snapshot=0")))
+    assert(TableIO.read(spark, base).count() == 1)
+  }
+}
+
+class DedupSkewSpec extends AnyFunSuite {
+  test("capped buckets keep degenerate near-identical corpora sub-quadratic") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2000 identical docs: every band bucket is one giant bucket
+    val skew = spark.range(2000).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated in every document of this corpus bucket").as("text"))
+    val t0 = System.nanoTime()
+    val n = graft.ops.Dedup.minhashDupes(skew, k = 3, numHashes = 16, bands = 16,
+      threshold = 0.5, maxBucket = 50).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n == 50L * 49 / 2, "pairs = C(cap, 2) from the capped bucket")
+    assert(sec < 60.0, s"degenerate bucket must not go quadratic (took $sec s)")
+    // simhash path: identical signatures land in one bucket per slice
+    val n2 = graft.ops.Dedup.simhashDupes(skew, maxHamming = 3, maxBucket = 50).count()
+    assert(n2 == 50L * 49 / 2)
+  }
+}
+
 class MergeEdgeSetsSpec extends AnyFunSuite {
   test("U5: direction-normalized union keeps min dist per pair") {
     val spark = SparkTestSession.spark
