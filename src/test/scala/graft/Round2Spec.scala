@@ -383,6 +383,44 @@ class PairFeaturesSpec extends AnyFunSuite {
   }
 }
 
+class IncrementalKgSpec extends AnyFunSuite {
+  test("foreachBatch KG: cross-batch entity linking matches the batch pipeline") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val d = Dicts.fixture
+    val dir = java.nio.file.Files.createTempDirectory("inckg").toString
+    val fixture = graft.pipeline.Transcripts.fixture(spark).collect()
+    // c1 arrives in micro-batch 0, c2 (with the STATA case variant) in batch 1
+    graft.streaming.StreamingPipeline.processBatch(
+      fixture.filter(_.conv_id == "c1").toSeq.toDS(), d, s"$dir/state", s"$dir/out", 0L)
+    graft.streaming.StreamingPipeline.processBatch(
+      fixture.filter(_.conv_id == "c2").toSeq.toDS(), d, s"$dir/state", s"$dir/out", 1L)
+
+    // triple parity with the batch pipeline over the full fixture
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select($"conv_id", $"turn_idx", $"subj", $"pred", $"obj")
+      .as[(String, Int, String, String, String)].collect().toSet
+    val batchRun = graft.pipeline.Pipeline
+      .run(spark, graft.pipeline.Transcripts.fixture(spark), d).triples
+      .collect().map(t => (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)).toSet
+    assert(streamed == batchRun)
+
+    // cross-batch ED: Stata (batch 0) and STATA (batch 1) share a component
+    // in the accumulated state
+    val samples = graft.io.TableIO.read(spark, s"$dir/state/samples").as[LinkingSample]
+    val edges = graft.io.TableIO.read(spark, s"$dir/state/edges").as[Edge]
+    val comps = graft.ed.ConnectedComponents.run(
+      samples.select($"sample_id".as[java.lang.Long]), edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byMention = samples.collect().map(s => s.mention -> s.sample_id).toMap
+    assert(comps(byMention("Stata")) == comps(byMention("STATA")))
+    assert(comps(byMention("SPSS")) == comps(byMention("Statistical Package for the Social Sciences")))
+    assert(comps(byMention("MATLAB")) != comps(byMention("Python")))
+    // two committed snapshots: one per batch
+    assert(graft.io.TableIO.currentSnapshot(s"$dir/state/samples") == 1L)
+  }
+}
+
 class TableIOSpec extends AnyFunSuite {
   import graft.io.TableIO
 
