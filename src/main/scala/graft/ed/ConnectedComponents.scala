@@ -158,4 +158,35 @@ object ConnectedComponents {
     import spark.implicits._
     run(vertices, edges).as[Component]
   }
+
+  /** INCREMENTAL connected components: fold `newEdges` into an existing
+    * component assignment without replaying historical edges. A previous
+    * label (id, component) IS connectivity evidence — re-expressed as a
+    * zero-cost edge id↔component — so the union of (previous-label edges ∪
+    * new edges) has exactly the connectivity of (all historical edges ∪
+    * new edges), at the cost of one row per previously-seen vertex instead
+    * of the whole edge history. Per-batch work in the streaming KG stays
+    * proportional to (batch edges + seen vertices), and the state that
+    * must persist shrinks from the edge set to the component map.
+    *
+    * Output contract matches [[run]]: component = min reachable id over the
+    * merged graph (ids are stable, so canonical representatives only ever
+    * merge, never split).
+    */
+  def incremental(prevLabels: DataFrame, vertices: Dataset[java.lang.Long],
+      newEdges: Dataset[Edge]): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val prevAsEdges = prevLabels
+      .select(col("id").as("src"), col("component").as("dst"))
+      .filter($"src" =!= $"dst")
+      .withColumn("dist", lit(0.0))
+      .as[Edge]
+    val allVertices = vertices.toDF("id")
+      .union(prevLabels.select(col("id")))
+      .union(prevLabels.select(col("component").as("id")))
+      .distinct()
+      .as[java.lang.Long]
+    run(allVertices, prevAsEdges.unionByName(newEdges))
+  }
 }

@@ -53,6 +53,7 @@ object MentionDetector {
     * BASELINE.md host calibration).
     */
   def detect(text: String, d: Dicts): Vector[Span] = {
+    if (text == null) return Vector.empty // null turn text = empty turn (P1)
     // inline whitespace tokenization: pass 1 counts, pass 2 fills arrays
     val tlen = text.length
     var n = 0

@@ -58,6 +58,7 @@ object TokenFeatures {
 
   /** Pure per-turn feature matrix (one row per token). */
   def forTurn(conv_id: String, turn_idx: Int, text: String, d: Dicts): Seq[TokenFeatureRow] = {
+    if (text == null) return Seq.empty
     val toks = Tok.tokens(text)
     val n = toks.length
     if (n == 0) return Seq.empty

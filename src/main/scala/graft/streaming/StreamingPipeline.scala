@@ -51,10 +51,12 @@ object StreamingPipeline {
     * batch), build the batch's deduplicated sample set, score its
     * within-batch edges (J7) AND its edges against every previously seen
     * sample (J8 `EdEval.edgesBetween` — the reference's new-vs-old compare,
-    * `efficient_prediction.py:201-204`), merge with the accumulated edge
-    * set (U5 `mergeEdgeSets`), re-run connected components over the union,
-    * and append the batch's triples with canonical surfaces AS OF this
-    * batch. Accumulated samples and edges persist as [[TableIO]] snapshots
+    * `efficient_prediction.py:201-204`), fold them into the previous
+    * component assignment with INCREMENTAL connected components (previous
+    * labels replace the edge history — per-batch cost is batch edges +
+    * seen vertices, never the accumulated edge set), and append the
+    * batch's triples with canonical surfaces AS OF this batch.
+    * Accumulated samples and components persist as [[TableIO]] snapshots
     * — atomic pointer-flip commits, so a crash between batches resumes
     * from the last complete batch (same contract as the batch
     * checkpoints). Canonical ids refine as new case variants arrive; a
@@ -87,14 +89,11 @@ object StreamingPipeline {
     val newSamples = Linking.samples(mentions, relations).persist()
 
     val samplesBase = s"$stateDir/samples"
-    val edgesBase = s"$stateDir/edges"
+    val compBase = s"$stateDir/components"
     val haveState = TableIO.currentSnapshot(samplesBase) >= 0
     val oldSamples: Dataset[LinkingSample] =
       if (haveState) TableIO.read(spark, samplesBase).as[LinkingSample]
       else spark.emptyDataset[LinkingSample]
-    val oldEdges: Dataset[Edge] =
-      if (TableIO.currentSnapshot(edgesBase) >= 0) TableIO.read(spark, edgesBase).as[Edge]
-      else spark.emptyDataset[Edge]
 
     // new-vs-new + new-vs-old (old samples keep their contexts: first wins)
     val freshNew = newSamples.join(oldSamples.select($"sample_id"), Seq("sample_id"), "left_anti")
@@ -102,11 +101,18 @@ object StreamingPipeline {
     freshNew.count()
     val batchEdges = Blocking.edges(freshNew, bc)
     val crossEdges = EdEval.edgesBetween(freshNew, oldSamples, bc)
-    val allEdges = EdEval.mergeEdgeSets(Seq(oldEdges, batchEdges, crossEdges)).persist()
+    val newEdges = EdEval.mergeEdgeSets(Seq(batchEdges, crossEdges)).persist()
     val allSamples = oldSamples.unionByName(freshNew).persist()
 
-    val components = ConnectedComponents.run(
-      allSamples.select($"sample_id".as[java.lang.Long]), allEdges)
+    // incremental CC: previous component labels replace the edge history —
+    // per-batch work stays proportional to (batch edges + seen vertices)
+    // and the persisted state is the component map, not the edge set
+    val components =
+      if (TableIO.currentSnapshot(compBase) >= 0)
+        ConnectedComponents.incremental(TableIO.read(spark, compBase),
+          allSamples.select($"sample_id".as[java.lang.Long]), newEdges)
+      else
+        ConnectedComponents.run(allSamples.select($"sample_id".as[java.lang.Long]), newEdges)
     val canonSurface = allSamples.select($"sample_id".as("id"), $"mention")
       .join(components, "id")
       .groupBy($"component").agg(min($"mention").as("canon"))
@@ -128,9 +134,9 @@ object StreamingPipeline {
     triples.write.mode("append").parquet(outDir)
     // commit the new state LAST (pointer flip = the batch's commit point)
     TableIO.writeSnapshot(allSamples.toDF(), samplesBase)
-    TableIO.writeSnapshot(allEdges.toDF(), edgesBase)
+    TableIO.writeSnapshot(components, compBase)
     relations.unpersist(); newSamples.unpersist(); freshNew.unpersist()
-    allEdges.unpersist(); allSamples.unpersist()
+    newEdges.unpersist(); allSamples.unpersist()
   }
 
   /** Drive a bounded source through the streaming mention path into an

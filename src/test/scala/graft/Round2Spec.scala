@@ -383,6 +383,38 @@ class PairFeaturesSpec extends AnyFunSuite {
   }
 }
 
+class IncrementalCcSpec extends AnyFunSuite {
+  test("incremental CC over label-edges == full CC over the edge union") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val all = (1 to 40).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        Edge(math.min(a, b), math.max(a, b), 0.0)
+      }.filter(e => e.src != e.dst).distinct
+      val (half1, half2) = all.splitAt(all.length / 2)
+      val vertices = spark.createDataset((0 until n).map(i => java.lang.Long.valueOf(i.toLong)))
+      def groups(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2).values
+        .map(_.map(_._1).toSet).toSet
+      val prev = graft.ed.ConnectedComponents.run(vertices, spark.createDataset(half1))
+      val inc = graft.ed.ConnectedComponents.incremental(prev, vertices, spark.createDataset(half2))
+      val full = graft.ed.ConnectedComponents.run(vertices, spark.createDataset(all))
+      assert(groups(inc) == groups(full), s"trial $trial")
+    }
+  }
+
+  test("null / empty turn text yields empty detection, not a crash (P1)") {
+    val d = Dicts.fixture
+    assert(MentionDetector.detect(null, d).isEmpty)
+    assert(MentionDetector.detect("", d).isEmpty)
+    assert(MentionDetector.detect("   ", d).isEmpty)
+    assert(graft.ner.TokenFeatures.forTurn("c", 0, null, d).isEmpty)
+  }
+}
+
 class IncrementalKgSpec extends AnyFunSuite {
   test("foreachBatch KG: cross-batch entity linking matches the batch pipeline") {
     val spark = SparkTestSession.spark
@@ -406,11 +438,10 @@ class IncrementalKgSpec extends AnyFunSuite {
     assert(streamed == batchRun)
 
     // cross-batch ED: Stata (batch 0) and STATA (batch 1) share a component
-    // in the accumulated state
+    // in the accumulated state (maintained by INCREMENTAL CC — batch 1
+    // never saw batch 0's edges, only its component labels)
     val samples = graft.io.TableIO.read(spark, s"$dir/state/samples").as[LinkingSample]
-    val edges = graft.io.TableIO.read(spark, s"$dir/state/edges").as[Edge]
-    val comps = graft.ed.ConnectedComponents.run(
-      samples.select($"sample_id".as[java.lang.Long]), edges)
+    val comps = graft.io.TableIO.read(spark, s"$dir/state/components")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val byMention = samples.collect().map(s => s.mention -> s.sample_id).toMap
     assert(comps(byMention("Stata")) == comps(byMention("STATA")))
