@@ -239,6 +239,25 @@ object SparkEntry {
       member.join(canon, "component").select("mention", "canon").orderBy("mention")
     }),
 
+    // --- G5/A8: threshold-sweep clustering evaluation — edges scored ONCE,
+    // each sweep point reruns CC + pair-level P/R vs gold (lower-surface
+    // equality is the gold linkage on this corpus).
+    "q_g5_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val bc = Dicts.broadcast(s, Dicts.testdata)
+      val mentions = MentionDetector.mentions(s, turns2(s, dir), Dicts.testdata)
+      val samples = graft.ed.Linking.samples(mentions, s.emptyDataset[graft.core.Relation])
+        .persist()
+      val gold = samples.toDF().select(col("sample_id"), lower(col("mention")).as("gold_id"))
+      val edges = graft.ed.Blocking.edges(samples, bc, threshold = 1.0)
+      val sweep = graft.ed.EdEval.thresholdSweep(samples, edges, gold, Seq(0.05, 0.13, 0.5))
+      sweep.map { case (t, m) => m.withColumn("threshold", lit(t)) }
+        .reduce(_ unionByName _)
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+          col("precision"), col("recall"))
+        .orderBy("threshold")
+    }),
+
     // --- G2: connected components vs recursive-CTE oracle -------------------
     "q_g2_components" -> ((s, dir) => {
       import s.implicits._
@@ -798,6 +817,28 @@ object SparkEntry {
            |       CASE WHEN l0 = 'Version' AND ls.obj_beg = b1 THEN 'Version_of' ELSE 'none' END AS label
            |FROM pr LEFT JOIN ls ON pr.conv_id = ls.conv_id AND pr.turn_idx = ls.turn_idx
            |ORDER BY pr.conv_id, pr.turn_idx, ent0_beg, ent1_beg""".stripMargin,
+
+      // G5 sweep: the scored edge set on this corpus is exactly the
+      // same-normalize pairs at distance 0 (see q_kg_canonical note), so at
+      // every threshold ≥ 0 the predicted linkage equals the gold
+      // (lower-surface) linkage; counts derive from the group sizes.
+      "q_g5_sweep" ->
+        s"""WITH t2 AS ($turns2Sql),
+           |tok AS (
+           |  SELECT t2.conv_id, t2.turn_idx,
+           |         unnest(string_split(t2.text, ' ')) AS token
+           |  FROM t2),
+           |surf AS (SELECT DISTINCT token AS mention FROM tok
+           |         WHERE token IN (${sqlList(softwareList)})),
+           |grp AS (SELECT lower(mention) AS lm, count(*) AS k FROM surf GROUP BY 1),
+           |stats AS (SELECT sum(k * (k - 1) // 2) AS g, sum(k) AS n FROM grp),
+           |thr AS (SELECT CAST(unnest([0.05, 0.13, 0.5]) AS DOUBLE) AS threshold)
+           |SELECT thr.threshold,
+           |       CAST(s.g AS BIGINT) AS tp, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn,
+           |       CAST(s.n * (s.n - 1) // 2 - s.g AS BIGINT) AS tn,
+           |       round(s.g * 1.0 / greatest(s.g, 1), 4) AS precision,
+           |       round(s.g * 1.0 / greatest(s.g, 1), 4) AS recall
+           |FROM thr, stats s ORDER BY threshold""".stripMargin,
 
       // HAC complete linkage: on this corpus the only intra-block pair is
       // the case-variant ("spark","Spark") at distance 0 — the grouping is
