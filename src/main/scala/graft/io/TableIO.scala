@@ -65,12 +65,16 @@ object TableIO {
     val cur = currentSnapshot(base)
     val d = Paths.get(base)
     if (!Files.exists(d)) return
-    Files.list(d).forEach { p =>
-      val name = p.getFileName.toString
-      if (name.startsWith("snapshot=") && name.stripPrefix("snapshot=").toLong < cur) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
+    val ls = Files.list(d)
+    try {
+      ls.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("snapshot=") && name.stripPrefix("snapshot=").toLong < cur) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+          finally walk.close()
+        }
       }
-    }
+    } finally ls.close()
   }
 }
