@@ -42,19 +42,36 @@ final class Checkpoints(spark: SparkSession, baseDir: String) {
     * summed as decimal(38,0) — exact and ANSI-overflow-safe at any row count
     * — then folded with the row count.
     */
-  def contentHash(df: DataFrame): String = {
-    val row = df
-      .select(xxhash64(to_json(struct(df.columns.map(col): _*))).cast("decimal(38,0)").as("h"))
-      .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
-      .collect()(0)
-    val s = if (row.isNullAt(0)) "0" else row.getDecimal(0).toBigInteger.toString
-    s + ":" + row.getLong(1)
+  def contentHash(df: DataFrame): String = contentHashDetailed(df)._1
+
+  /** Content hash PLUS per-partition lineage (north_rule: "per-partition
+    * lineage"): one (partition, rows, hash) record per partition of the
+    * checkpoint as read back — the provenance needed to audit or re-verify
+    * an individual partition without rescanning the stage. The total is
+    * the exact sum of the partition sums, so stage-level identity is
+    * unchanged.
+    */
+  def contentHashDetailed(df: DataFrame): (String, Seq[(Int, Long, String)]) = {
+    val rows = df
+      .select(spark_partition_id().as("p"),
+        xxhash64(to_json(struct(df.columns.map(col): _*))).cast("decimal(38,0)").as("h"))
+      .groupBy(col("p")).agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val parts = rows.map { r =>
+      (r.getInt(0), r.getLong(2),
+        if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString)
+    }.sortBy(_._1).toSeq
+    val totalSum = parts.map(p => BigInt(p._3)).sum
+    val totalN = parts.map(_._2).sum
+    (s"$totalSum:$totalN", parts)
   }
 
   private def writeLineage(name: String, hash: String, inputs: String, rows: Long,
-      seconds: Double): Unit = {
+      seconds: Double, parts: Seq[(Int, Long, String)] = Nil): Unit = {
+    val pj = parts.map { case (p, n, h) => s"""{"p":$p,"rows":$n,"hash":"$h"}""" }
+      .mkString("[", ",", "]")
     val json =
-      s"""{"stage":"$name","content_hash":"$hash","inputs":"$inputs","rows":$rows,"seconds":$seconds}"""
+      s"""{"stage":"$name","content_hash":"$hash","inputs":"$inputs","rows":$rows,"seconds":$seconds,"partitions":$pj}"""
     Files.write(lineagePath(name), json.getBytes(StandardCharsets.UTF_8))
     Files.write(metricsPath,
       (json + "\n").getBytes(StandardCharsets.UTF_8),
@@ -97,9 +114,9 @@ final class Checkpoints(spark: SparkSession, baseDir: String) {
       val t0 = System.nanoTime()
       compute.write.mode("overwrite").parquet(dir(name))
       val out = spark.read.parquet(dir(name))
-      val h = contentHash(out)
+      val (h, parts) = contentHashDetailed(out)
       val rows = h.substring(h.indexOf(':') + 1).toLong
-      writeLineage(name, h, inputs, rows, (System.nanoTime() - t0) / 1e9)
+      writeLineage(name, h, inputs, rows, (System.nanoTime() - t0) / 1e9, parts)
       out
     }
   }

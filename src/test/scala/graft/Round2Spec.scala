@@ -452,6 +452,25 @@ class IncrementalKgSpec extends AnyFunSuite {
   }
 }
 
+class PartitionLineageSpec extends AnyFunSuite {
+  test("stage lineage records per-partition rows+hash; total == sum of parts") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lineage").toString
+    val ck = new graft.pipeline.Checkpoints(spark, dir)
+    ck.stage("s1", "fp") { (1 to 100).toDF("x").repartition(4) }
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/s1_lineage.json")))
+    assert(json.contains("\"partitions\":["))
+    val partRows = """"rows":(\d+)""".r.findAllMatchIn(json).map(_.group(1).toLong).toSeq
+    // first rows field is the stage total; the rest are per-partition
+    assert(partRows.tail.sum == partRows.head && partRows.head == 100L)
+    // resume still validates against the total
+    assert(ck.isValid("s1", "fp"))
+    assert(!ck.isValid("s1", "other-inputs"))
+  }
+}
+
 class TableIOSpec extends AnyFunSuite {
   import graft.io.TableIO
 
