@@ -147,6 +147,7 @@ object Bench {
     // artifact had exactly that: 64.8s for a 10-19s workload).
     val headlineReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
     val skipHeadline = sys.env.get("SPARK_GRAFT_SKIP_HEADLINE").contains("1")
+    var annRecall = -1.0
     val queryTimes = if (skipHeadline) Seq.empty else {
       val spark1 = session(cpus)
       spark1.range(10).count() // JVM/session warm-up
@@ -156,6 +157,15 @@ object Bench {
         val sec = (1 to headlineReps).map(_ => time(fn(spark1, sfDir).count())).min
         name -> sec
       }
+      // committed ANN quality number: measured recall@5 of the LSH scale
+      // path vs the exact brute-force baseline at this SF (VERDICT r02
+      // "What's missing" #1 — oracle equality at sf0.001 only implies
+      // recall 1.0 there; this measures it where it can genuinely be < 1)
+      val emb = spark1.read.parquet(s"$sfDir/embeddings.parquet")
+      val annQ = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 100)
+      annRecall = graft.ops.SimilaritySearch.recallAtK(
+        graft.ops.SimilaritySearch.lshTopK(emb, annQ, k = 5),
+        graft.ops.SimilaritySearch.bruteForceTopK(emb, annQ, k = 5))
       spark1.stop()
       times
     }
@@ -207,6 +217,11 @@ object Bench {
     val total = queryTimes.map(_._2).sum + secHi
     val qs = (queryTimes :+ ("kg_synthetic_3m_turns" -> secHi))
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    // the pre-registered acceptance gate (BASELINE.md "Scaling gate"),
+    // evaluated MECHANICALLY so the artifact passes or fails on its own:
+    // raw 2→8 efficiency ≥ 0.8, OR ≥ 0.8 of the same-run measured memory-
+    // bandwidth ceiling when the host itself is steal-limited below 1.0
+    val gatePass = efficiency >= 0.8 || normalized >= 0.8
     val scaling =
       s"""{"turns":$turns,"cores_hi":$scaleHi,"cores_lo":$scaleLo,""" +
         s""""sec_hi":${f"$secHi%.3f"},"sec_lo":${f"$secLo%.3f"},""" +
@@ -219,8 +234,11 @@ object Bench {
         s""""host_membw_ceiling":{"stream_gb_per_sec_lo":${f"$bwLo%.1f"},""" +
         s""""stream_gb_per_sec_hi":${f"$bwHi%.1f"},""" +
         s""""bw_scaling_ratio":${f"$bwCeiling%.3f"}},""" +
-        s""""efficiency_vs_host_membw_ceiling":${f"$normalized%.3f"}}"""
+        s""""efficiency_vs_host_membw_ceiling":${f"$normalized%.3f"},""" +
+        s""""gate":{"criterion":"efficiency>=0.8 OR efficiency_vs_host_membw_ceiling>=0.8",""" +
+        s""""pass":$gatePass}}"""
+    val annRecallJson = if (annRecall >= 0) s""""ann_recall_at_5":${f"$annRecall%.4f"},""" else ""
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$annRecallJson"sf":"$sfDir","scaling":$scaling}""")
   }
 }

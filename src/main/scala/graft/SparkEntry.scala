@@ -239,6 +239,30 @@ object SparkEntry {
       member.join(canon, "component").select("mention", "canon").orderBy("mention")
     }),
 
+    // --- J8: capped cross-set compare join (new crawl vs existing canonical
+    // set — the streaming KG's per-batch hot path). Samples built from two
+    // disjoint occurrence windows of the same corpus (turn_idx < 5 vs ≥ 5);
+    // edges joined back to surfaces so the output is engine-independent.
+    // Oracle justification: identical to q_kg_canonical — on this corpus the
+    // scorer links exactly the same-normalize() pairs at distance 0, so the
+    // cross-set edge set is the lower(surface)-equality join of the two
+    // windows' distinct software surfaces.
+    "q_j8_compare" -> ((s, dir) => {
+      import s.implicits._
+      val bc = Dicts.broadcast(s, Dicts.testdata)
+      val t = turns2(s, dir)
+      def sampleSet(p: Column) = graft.ed.Linking.samples(
+        MentionDetector.mentions(s, t.filter(p), Dicts.testdata),
+        s.emptyDataset[graft.core.Relation])
+      val newS = sampleSet(col("turn_idx") < 5)
+      val oldS = sampleSet(col("turn_idx") >= 5)
+      graft.ed.EdEval.edgesBetween(newS, oldS, bc).toDF()
+        .join(newS.toDF().select(col("sample_id").as("src"), col("mention").as("new_mention")), "src")
+        .join(oldS.toDF().select(col("sample_id").as("dst"), col("mention").as("old_mention")), "dst")
+        .select(col("new_mention"), col("old_mention"), round(col("dist"), 4).as("dist"))
+        .orderBy("new_mention", "old_mention")
+    }),
+
     // --- G5/A8: threshold-sweep clustering evaluation — edges scored ONCE,
     // each sweep point reruns CC + pair-level P/R vs gold (lower-surface
     // equality is the gold linkage on this corpus).
@@ -250,7 +274,10 @@ object SparkEntry {
         .persist()
       val gold = samples.toDF().select(col("sample_id"), lower(col("mention")).as("gold_id"))
       val edges = graft.ed.Blocking.edges(samples, bc, threshold = 1.0)
+      // thresholdSweep materializes its metric rows, so the sample cache can
+      // be released here — the returned union references only local frames
       val sweep = graft.ed.EdEval.thresholdSweep(samples, edges, gold, Seq(0.05, 0.13, 0.5))
+      samples.unpersist()
       sweep.map { case (t, m) => m.withColumn("threshold", lit(t)) }
         .reduce(_ unionByName _)
         .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
@@ -818,6 +845,21 @@ object SparkEntry {
            |FROM pr LEFT JOIN ls ON pr.conv_id = ls.conv_id AND pr.turn_idx = ls.turn_idx
            |ORDER BY pr.conv_id, pr.turn_idx, ent0_beg, ent1_beg""".stripMargin,
 
+      // J8 cross-set compare: the scorer links exactly the lower-equal
+      // surface pairs at distance 0 on this corpus (see q_kg_canonical).
+      "q_j8_compare" ->
+        s"""WITH t2 AS ($turns2Sql),
+           |tok AS (
+           |  SELECT t2.turn_idx, unnest(string_split(t2.text, ' ')) AS token
+           |  FROM t2),
+           |n AS (SELECT DISTINCT token AS m FROM tok
+           |      WHERE turn_idx < 5 AND token IN (${sqlList(softwareList)})),
+           |o AS (SELECT DISTINCT token AS m FROM tok
+           |      WHERE turn_idx >= 5 AND token IN (${sqlList(softwareList)}))
+           |SELECT n.m AS new_mention, o.m AS old_mention, CAST(0.0 AS DOUBLE) AS dist
+           |FROM n JOIN o ON lower(n.m) = lower(o.m)
+           |ORDER BY new_mention, old_mention""".stripMargin,
+
       // G5 sweep: the scored edge set on this corpus is exactly the
       // same-normalize pairs at distance 0 (see q_kg_canonical note), so at
       // every threshold ≥ 0 the predicted linkage equals the gold
@@ -1098,7 +1140,9 @@ object SparkEntry {
 
       // Random-hyperplane LSH with EXACT integer projections (per-term floor
       // then integer sum — order-independent), plane components from hash61:
-      // the oracle reproduces signatures, banding and the cosine re-rank.
+      // the oracle reproduces signatures, banding, the query-side one-bit
+      // multi-probe expansion (masks 0,1,2,4,8 over the 4-bit band hash)
+      // and the cosine re-rank.
       "q_ann_lsh" ->
         s"""WITH comp AS (
            |  SELECT pp.p, ii.i,
@@ -1115,8 +1159,10 @@ object SparkEntry {
            |  SELECT vec_id,
            |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
            |  FROM proj GROUP BY vec_id),
-           |qb AS (SELECT s.vec_id AS query_id, b.b AS band, (sig >> CAST(b.b * 4 AS INT)) & 15 AS bh
-           |       FROM sig s, range(4) b(b) WHERE s.vec_id < 20),
+           |qb0 AS (SELECT s.vec_id AS query_id, b.b AS band, (sig >> CAST(b.b * 4 AS INT)) & 15 AS bh
+           |        FROM sig s, range(4) b(b) WHERE s.vec_id < 20),
+           |qb AS (SELECT DISTINCT query_id, band, xor(bh, m.m) AS bh
+           |       FROM qb0, (SELECT unnest([0, 1, 2, 4, 8]) AS m) m),
            |cb AS (SELECT s.vec_id AS neighbor_id, b.b AS band, (sig >> CAST(b.b * 4 AS INT)) & 15 AS bh
            |       FROM sig s, range(4) b(b)),
            |cand AS (

@@ -39,7 +39,11 @@ object TagRemap {
     val m = typedLit(mapping)
     transform(tagsCol, t => {
       val dash = instr(t, "-")
-      val name = substring_index(t, "-", -1)
+      // everything after the FIRST dash — `_adjust_tag` splits at the first
+      // dash, so a type name that itself contains dashes ("B-Foo-Bar" →
+      // "Foo-Bar") must stay intact (substring_index(…,-1) would keep only
+      // the text after the LAST dash — ADVICE r02)
+      val name = substr(t, dash + 1, length(t))
       val prefix = substr(t, lit(1), dash) // includes the '-'
       val mapped = element_at(m, when(dash > 0, name).otherwise(t))
       when(t === "O", lit("O"))

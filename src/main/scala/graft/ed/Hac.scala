@@ -47,8 +47,21 @@ object Hac {
     if (n == 0) return Map.empty
     if (n == 1) return Map(ids(0) -> ids(0))
     // cache the item-pair distances once (the reference precomputes the
-    // condensed matrix)
-    val d = Array.tabulate(n, n)((i, j) => if (i == j) 0.0 else dist(math.min(i, j), math.max(i, j)))
+    // condensed matrix) — ONE dist() call per unordered pair, mirrored into
+    // the lower triangle (the scorer is the expensive part; scored-once is
+    // an invariant everywhere else in this engine)
+    val d = Array.ofDim[Double](n, n)
+    var di = 0
+    while (di < n) {
+      var dj = di + 1
+      while (dj < n) {
+        val v = dist(di, dj)
+        d(di)(dj) = v
+        d(dj)(di) = v
+        dj += 1
+      }
+      di += 1
+    }
 
     var clusters: Map[Int, Vector[Int]] = (0 until n).map(i => i -> Vector(i)).toMap
     var nextId = n

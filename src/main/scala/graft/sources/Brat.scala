@@ -94,4 +94,80 @@ object Brat {
     */
   def withText(ann: Dataset[AnnotatedDoc], txt: DataFrame, txtKey: String = "doc_id"): DataFrame =
     ann.toDF().join(txt.withColumnRenamed(txtKey, "doc_id"), Seq("doc_id"), "inner")
+
+  // --- `.ann.unique` sink (S12 output format) --------------------------------
+
+  /** True for the entity labels the reference maps by surface string:
+    * `'_' in label and "Coreference" not in label`
+    * (`bin/map_unique_names_to_files:69`).
+    */
+  def isUniqueMapped(label: String): Boolean =
+    label.contains('_') && !label.contains("Coreference")
+
+  /** One document's `.ann.unique` content
+    * (`bin/map_unique_names_to_files:90-97`): every entity re-emits as
+    * `id\tType beg end\tsurface[\tunique_id]`, every relation as
+    * `id\tType Arg1:a Arg2:b\t` — byte-exact to the reference's writer.
+    */
+  def formatUnique(doc: AnnotatedDoc, uniqueIds: Map[String, String]): String = {
+    val sb = new StringBuilder
+    doc.entities.foreach { e =>
+      uniqueIds.get(e.id) match {
+        case Some(u) => sb.append(s"${e.id}\t${e.typ} ${e.beg} ${e.end}\t${e.surface}\t$u\n")
+        case None    => sb.append(s"${e.id}\t${e.typ} ${e.beg} ${e.end}\t${e.surface}\n")
+      }
+    }
+    doc.relations.foreach { r =>
+      sb.append(s"${r.id}\t${r.typ} Arg1:${r.arg1} Arg2:${r.arg2}\t\n")
+    }
+    sb.toString
+  }
+
+  /** Parse one `.ann.unique` line back: entity lines may carry the appended
+    * unique id as a 4th tab field (round-trip check of [[formatUnique]]).
+    */
+  def parseUniqueLine(line: String): Option[Either[(AnnEntity, Option[String]), AnnRelation]] = {
+    if (line.isEmpty) return None
+    if (line.charAt(0) == 'T') {
+      val parts = line.split("\t", -1)
+      if (parts.length < 3) None
+      else {
+        val mid = parts(1).split(" |;")
+        val nums = mid.drop(1).filter(_.nonEmpty).map(_.toInt)
+        val uid = if (parts.length >= 4 && parts(3).nonEmpty) Some(parts(3)) else None
+        Some(Left((AnnEntity(parts(0), mid(0), nums.min, nums.max, parts(2)), uid)))
+      }
+    } else parseLine(line) match {
+      case Some(Right(r)) => Some(Right(r))
+      case _              => None
+    }
+  }
+
+  /** Distributed `.ann.unique` sink: attach canonical cluster ids to a BRAT
+    * corpus by SURFACE (the reference's `duplicate_name_mapping` path,
+    * `bin/map_unique_names_to_files:42-46,69-74` — only main-type labels per
+    * [[isUniqueMapped]]), and render one `.ann.unique` content string per
+    * document. `surfaceToUnique` is (mention, canonical) — exactly the
+    * [[graft.ed.Linking.canonicalMap]] output, so the KG pipeline's
+    * canonical ids re-emit onto the gold annotations end-to-end.
+    *
+    * Shuffle shape: entities explode to compact (doc_id, ent_id, surface)
+    * rows, join the canonical map on surface (AQE broadcasts it when small),
+    * and regroup per document — entity payloads never fan out.
+    */
+  def uniqueFiles(ann: Dataset[AnnotatedDoc], surfaceToUnique: DataFrame): Dataset[(String, String)] = {
+    val spark = ann.sparkSession
+    import spark.implicits._
+    val ents = ann.flatMap(d => d.entities.collect {
+      case e if isUniqueMapped(e.typ) => (d.doc_id, e.id, e.surface)
+    }).toDF("doc_id", "ent_id", "surface")
+    val canon = surfaceToUnique
+      .select(col("mention").as("surface"), col("canonical").cast("string").as("unique_id"))
+    val assigned = ents.join(canon, Seq("surface"))
+      .select($"doc_id", $"ent_id", $"unique_id").as[(String, String, String)]
+      .groupByKey(_._1)
+      .mapGroups((d, it) => (d, it.map(t => t._2 -> t._3).toMap))
+    ann.joinWith(assigned, ann("doc_id") === assigned("_1"), "left")
+      .map { case (d, m) => (d.doc_id, formatUnique(d, Option(m).map(_._2).getOrElse(Map.empty))) }
+  }
 }

@@ -56,11 +56,20 @@ object StreamingPipeline {
     * labels replace the edge history — per-batch cost is batch edges +
     * seen vertices, never the accumulated edge set), and append the
     * batch's triples with canonical surfaces AS OF this batch.
-    * Accumulated samples and components persist as [[TableIO]] snapshots
-    * — atomic pointer-flip commits, so a crash between batches resumes
-    * from the last complete batch (same contract as the batch
-    * checkpoints). Canonical ids refine as new case variants arrive; a
-    * periodic compaction over the appended triples
+    * Accumulated samples and components persist as ONE [[TableIO]]
+    * multi-table snapshot per batch — a SINGLE atomic pointer flip commits
+    * samples, components AND the committed-batch watermark together (round
+    * 2 flipped two pointers separately and appended triples outside any
+    * commit: a crash between the flips lost a batch's edges, a replay
+    * duplicated its triples — ADVICE r02). The triples sink is idempotent:
+    * each batch OVERWRITES its own `batch_id=<id>` partition directory
+    * BEFORE the state commit, and a replayed batch whose id is already
+    * committed is skipped entirely — so crash-at-any-point + restart yields
+    * exactly-once triples. The streaming query pins a real
+    * `checkpointLocation` (under `stateDir`) so a restart resumes the
+    * source from its offset log instead of replaying from scratch.
+    * Canonical ids refine as new case variants arrive; a periodic
+    * compaction over the appended triples
     * (`Pipeline.canonicalTriplesSurfaced` shape) yields the converged KG.
     */
   def incrementalTriples(streamTurns: Dataset[Turn], d: Dicts,
@@ -68,6 +77,7 @@ object StreamingPipeline {
     val q = streamTurns.writeStream
       .outputMode(OutputMode.Append)
       .queryName(queryName)
+      .option("checkpointLocation", s"$stateDir/_spark_checkpoint")
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
         processBatch(batch, d, stateDir, outDir, batchId)
@@ -76,23 +86,35 @@ object StreamingPipeline {
     q
   }
 
-  /** One micro-batch of the incremental flow (exposed for tests). */
+  /** One micro-batch of the incremental flow (exposed for tests).
+    *
+    * Commit protocol (exactly-once under crash/replay at any point):
+    *  1. skip if `batchId` ≤ the committed watermark (the batch's triples
+    *     were already written — they land before the watermark advances);
+    *  2. OVERWRITE `outDir/batch_id=<batchId>/` with the batch's triples
+    *     (idempotent re-run of an uncommitted batch);
+    *  3. commit samples + components + watermark as ONE snapshot with ONE
+    *     atomic pointer flip.
+    * A crash between 2 and 3 replays the batch: step 2 overwrites the same
+    * partition, step 3 commits — no duplicates, no loss.
+    */
   def processBatch(batch: Dataset[Turn], d: Dicts, stateDir: String, outDir: String,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
+    val stateBase = s"$stateDir/state"
+    val committedBatch = TableIO.marker(stateBase, "batch_id").flatMap(_.toLongOption).getOrElse(-1L)
+    if (batchId <= committedBatch) return // replay of a committed batch
     val bc = Dicts.broadcast(spark, d)
 
     val relations = RelationExtractor.relations(batch, bc).persist()
     val mentions = MentionDetector.mentions(batch, bc)
     val newSamples = Linking.samples(mentions, relations).persist()
 
-    val samplesBase = s"$stateDir/samples"
-    val compBase = s"$stateDir/components"
-    val haveState = TableIO.currentSnapshot(samplesBase) >= 0
+    val haveState = TableIO.currentSnapshot(stateBase) >= 0
     val oldSamples: Dataset[LinkingSample] =
-      if (haveState) TableIO.read(spark, samplesBase).as[LinkingSample]
+      if (haveState) TableIO.readTable(spark, stateBase, "samples").as[LinkingSample]
       else spark.emptyDataset[LinkingSample]
 
     // new-vs-new + new-vs-old (old samples keep their contexts: first wins)
@@ -108,8 +130,8 @@ object StreamingPipeline {
     // per-batch work stays proportional to (batch edges + seen vertices)
     // and the persisted state is the component map, not the edge set
     val components =
-      if (TableIO.currentSnapshot(compBase) >= 0)
-        ConnectedComponents.incremental(TableIO.read(spark, compBase),
+      if (haveState)
+        ConnectedComponents.incremental(TableIO.readTable(spark, stateBase, "components"),
           allSamples.select($"sample_id".as[java.lang.Long]), newEdges)
       else
         ConnectedComponents.run(allSamples.select($"sample_id".as[java.lang.Long]), newEdges)
@@ -120,6 +142,8 @@ object StreamingPipeline {
       .join(components, "id").join(canonSurface, "component")
       .select($"mention", $"canon")
 
+    // batch_id carried by the partition DIRECTORY (partition discovery
+    // restores the column on read), so the overwrite below is batch-scoped
     val triples = relations.toDF()
       .join(sampleCanon.withColumnRenamed("mention", "obj_surface")
         .withColumnRenamed("canon", "obj_canon"), Seq("obj_surface"), "left")
@@ -128,13 +152,13 @@ object StreamingPipeline {
       .select($"subj_surface".as("subj"), $"pred", $"obj_surface".as("obj"),
         $"conv_id", $"turn_idx",
         coalesce($"subj_canon", $"subj_surface").as("subj_canon"),
-        coalesce($"obj_canon", $"obj_surface").as("obj_canon"),
-        lit(batchId).as("batch_id"))
+        coalesce($"obj_canon", $"obj_surface").as("obj_canon"))
 
-    triples.write.mode("append").parquet(outDir)
-    // commit the new state LAST (pointer flip = the batch's commit point)
-    TableIO.writeSnapshot(allSamples.toDF(), samplesBase)
-    TableIO.writeSnapshot(components, compBase)
+    triples.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // ONE commit point: state tables + watermark, single atomic pointer flip
+    TableIO.writeSnapshotTables(stateBase,
+      Seq("samples" -> allSamples.toDF(), "components" -> components),
+      Map("batch_id" -> batchId.toString))
     relations.unpersist(); newSamples.unpersist(); freshNew.unpersist()
     newEdges.unpersist(); allSamples.unpersist()
   }

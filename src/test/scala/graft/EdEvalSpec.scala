@@ -44,4 +44,22 @@ class EdEvalSpec extends AnyFunSuite {
     assert(e.exists(x => x.src == 10L && x.dst == 1L))
     assert(!e.exists(x => x.src == 11L))
   }
+
+  test("J8 cross-set join caps hot blocks on BOTH sides (skew guard)") {
+    import spark.implicits._
+    // 2000 samples per side collapsing onto the same hot blocking keys
+    // (normalize() strips trailing digits: every "pythonN" norms to
+    // "python"). Uncapped, the cross join scores 2000×2000 = 4M pairs per
+    // key — the round-2 quadratic hole; capped at 50 per side per key it
+    // must stay ≤ a few thousand.
+    val newS = spark.createDataset((0 until 2000).map(i => sample(100000L + i, s"python$i")))
+    val oldS = spark.createDataset((0 until 2000).map(i => sample(200000L + i, s"python$i")))
+    val bc = Dicts.broadcast(spark, Dicts.fixture)
+    val acc = spark.sparkContext.longAccumulator("j8scored")
+    EdEval.edgesBetween(newS, oldS, bc, threshold = 1.0, maxBlockSize = 50,
+      scoredCounter = Some(acc)).count()
+    assert(acc.value > 0)
+    assert(acc.value <= 3L * 50 * 50,
+      s"hot cross-set block must be capped, scored ${acc.value} pairs")
+  }
 }

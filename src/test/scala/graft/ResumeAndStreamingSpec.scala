@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.dicts.Dicts
 import graft.pipeline.{Checkpoints, Transcripts}
 import graft.streaming.StreamingPipeline
@@ -23,15 +25,80 @@ class ResumeSpec extends AnyFunSuite {
 
     // record checkpoint mtimes, then simulate a crash after stage 3:
     // drop lineage for edges/components/triples and rerun
-    val mentionsLineage = java.nio.file.Paths.get(s"$base/mentions_lineage.json")
-    val mtimeBefore = Files.getLastModifiedTime(mentionsLineage)
+    val detectedLineage = java.nio.file.Paths.get(s"$base/detected_lineage.json")
+    val mtimeBefore = Files.getLastModifiedTime(detectedLineage)
     val ck = new Checkpoints(spark, base)
     ck.invalidate("edges", "components", "triples")
 
     val second = collectTriples(Checkpoints.runPipeline(spark, turns, Dicts.fixture, base))
     assert(second == first, "resumed output must equal the original")
-    assert(Files.getLastModifiedTime(mentionsLineage) == mtimeBefore,
-      "mentions stage must be resumed from checkpoint, not recomputed")
+    assert(Files.getLastModifiedTime(detectedLineage) == mtimeBefore,
+      "detection stage must be resumed from checkpoint, not recomputed")
+  }
+
+  test("checkpointed pipeline runs ONE detection stage (fused NER+RE)") {
+    val base = Files.createTempDirectory("graft-ck1").toString
+    Checkpoints.runPipeline(spark, Transcripts.fixture(spark), Dicts.fixture, base)
+    val metrics = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$base/metrics.jsonl")))
+    val stages = """"stage":"([a-z]+)"""".r.findAllMatchIn(metrics).map(_.group(1)).toSeq
+    assert(stages.count(_ == "detected") == 1, s"one fused detection stage expected, got $stages")
+    assert(!stages.contains("mentions") && !stages.contains("relations"),
+      "mentions/relations must be projections of the fused stage, not separate detection scans")
+    assert(stages.toSet == Set("detected", "samples", "edges", "components", "triples"))
+  }
+
+  test("resume of a completed run is O(metadata): no full stage re-hash") {
+    val base = Files.createTempDirectory("graft-ck2").toString
+    val turns = Transcripts.fixture(spark)
+    val first = collectTriples(Checkpoints.runPipeline(spark, turns, Dicts.fixture, base))
+
+    val ck = new Checkpoints(spark, base)
+    val second = collectTriples(Checkpoints.runPipelineWith(ck, spark, turns, Dicts.fixture))
+    assert(second == first)
+    // the only permitted content-hash scan on a fully-valid resume is the
+    // INPUT fingerprint (stale-input detection); completed stages validate
+    // against their recorded file manifest without any Spark scan
+    assert(ck.hashScans.get() == 1,
+      s"resume must not re-hash completed stages (got ${ck.hashScans.get()} scans)")
+
+    // audit mode is still available and re-validates content in full
+    val ckAudit = new Checkpoints(spark, base, auditFullHash = true)
+    val third = collectTriples(Checkpoints.runPipelineWith(ckAudit, spark, turns, Dicts.fixture))
+    assert(third == first)
+    assert(ckAudit.hashScans.get() > 1, "audit mode must re-hash checkpoints")
+  }
+
+  test("corrupted/rewritten checkpoint data fails metadata validation and recomputes") {
+    val base = Files.createTempDirectory("graft-ck3").toString
+    val turns = Transcripts.fixture(spark)
+    val first = collectTriples(Checkpoints.runPipeline(spark, turns, Dicts.fixture, base))
+
+    // truncate one data file of the edges checkpoint (size no longer
+    // matches the recorded manifest)
+    val edgesDir = java.nio.file.Paths.get(s"$base/edges")
+    val part = Files.list(edgesDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val bytes = Files.readAllBytes(part)
+    Files.write(part, bytes.dropRight(1))
+    val ck = new Checkpoints(spark, base)
+    assert(!ck.isValid("edges", ck.hashOf("detected")), "size mismatch must invalidate")
+
+    val second = collectTriples(Checkpoints.runPipeline(spark, turns, Dicts.fixture, base))
+    assert(second == first, "recomputed-from-corruption output must equal the original")
+  }
+
+  test("stale input invalidates completed stages instead of resuming") {
+    val base = Files.createTempDirectory("graft-ck4").toString
+    val turns = Transcripts.fixture(spark)
+    collectTriples(Checkpoints.runPipeline(spark, turns, Dicts.fixture, base))
+    val detectedLineage = java.nio.file.Paths.get(s"$base/detected_lineage.json")
+    val mtimeBefore = Files.getLastModifiedTime(detectedLineage)
+
+    import spark.implicits._
+    val changed = turns.filter($"turn_idx" =!= 0)
+    collectTriples(Checkpoints.runPipeline(spark, changed, Dicts.fixture, base))
+    assert(Files.getLastModifiedTime(detectedLineage) != mtimeBefore,
+      "changed input must recompute the detection stage")
   }
 
   test("content hash is partition-layout independent") {

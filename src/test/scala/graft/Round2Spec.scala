@@ -111,6 +111,44 @@ class BratSpec extends AnyFunSuite {
     val joined = Brat.withText(ann, txt).select("doc_id").as[String].collect()
     assert(joined.toSeq == Seq("b"))
   }
+
+  test(".ann.unique round-trip: canonical ids appended, reference line format, re-parse identical") {
+    // format per bin/map_unique_names_to_files:90-97
+    val doc = Brat.parseDoc("d",
+      "T1\tApplication_Usage 185 190\tStata\n" +
+        "T2\tVersion 191 195\t13.1\n" +
+        "R1\tVersion_of Arg1:T2 Arg2:T1\t\n")
+    val out = Brat.formatUnique(doc, Map("T1" -> "Software_42"))
+    assert(out ==
+      "T1\tApplication_Usage 185 190\tStata\tSoftware_42\n" +
+        "T2\tVersion 191 195\t13.1\n" +
+        "R1\tVersion_of Arg1:T2 Arg2:T1\t\n")
+    // re-parse: entities + relations + unique ids survive byte-exactly
+    val back = out.linesIterator.flatMap(Brat.parseUniqueLine).toSeq
+    assert(back.collect { case Left((e, _)) => e } == doc.entities)
+    assert(back.collect { case Right(r) => r } == doc.relations)
+    assert(back.collect { case Left((e, Some(u))) => e.id -> u }.toMap == Map("T1" -> "Software_42"))
+  }
+
+  test(".ann.unique distributed sink: J9 canonical map re-emits onto a BRAT corpus by surface") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val ann = Brat.parse(Seq(
+      ("p1", "T1\tApplication_Usage 0 5\tStata\nT2\tVersion 6 10\t13.1\nR1\tVersion_of Arg1:T2 Arg2:T1\t"),
+      ("p2", "T1\tApplication_Mention 0 5\tSTATA\nT2\tSoftwareCoreference_Deposition 6 8\tit")).toDS())
+    // canonicalMap-shaped input: both case variants share one cluster id
+    val canon = Seq(("Stata", 7L), ("STATA", 7L)).toDF("mention", "canonical")
+    val files = Brat.uniqueFiles(ann, canon).collect().toMap
+    assert(files("p1") ==
+      "T1\tApplication_Usage 0 5\tStata\t7\n" +
+        "T2\tVersion 6 10\t13.1\n" +
+        "R1\tVersion_of Arg1:T2 Arg2:T1\t\n")
+    // main-type entity gets the SAME cluster id; the Coreference label and
+    // the attribute (no '_' in label) are never unique-mapped
+    assert(files("p2") ==
+      "T1\tApplication_Mention 0 5\tSTATA\t7\n" +
+        "T2\tSoftwareCoreference_Deposition 6 8\tit\n")
+  }
 }
 
 class TagRemapSpec extends AnyFunSuite {
@@ -150,6 +188,19 @@ class TagRemapSpec extends AnyFunSuite {
       .select(remapColumn(col("tags"), Software).as("r")).as[Seq[String]].collect().head
     assert(got == remapSeq(tags.head, Software))
     assert(got == Seq("O", "B-Application", "I-Application", "O", "O"))
+  }
+
+  test("column remap splits at the FIRST dash like _adjust_tag (dashed type names)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // a type name that itself contains a dash: substring_index(…, -1) would
+    // look up "Bar" instead of "Foo-Bar" and emit <<UNMAPPED>> (ADVICE r02)
+    val m = Map("Foo-Bar" -> "Baz-Qux", "O" -> "O")
+    assert(remapTag("B-Foo-Bar", m) == "B-Baz-Qux")
+    val got = Seq(Seq("B-Foo-Bar", "I-Foo-Bar", "O")).toDF("tags")
+      .select(remapColumn(col("tags"), m).as("r")).as[Seq[String]].collect().head
+    assert(got == Seq("B-Baz-Qux", "I-Baz-Qux", "O"))
+    assert(got == remapSeq(Seq("B-Foo-Bar", "I-Foo-Bar", "O"), m))
   }
 }
 
@@ -424,14 +475,15 @@ class IncrementalKgSpec extends AnyFunSuite {
     val fixture = graft.pipeline.Transcripts.fixture(spark).collect()
     // c1 arrives in micro-batch 0, c2 (with the STATA case variant) in batch 1
     graft.streaming.StreamingPipeline.processBatch(
-      fixture.filter(_.conv_id == "c1").toSeq.toDS(), d, s"$dir/state", s"$dir/out", 0L)
+      fixture.filter(_.conv_id == "c1").toSeq.toDS(), d, dir, s"$dir/out", 0L)
     graft.streaming.StreamingPipeline.processBatch(
-      fixture.filter(_.conv_id == "c2").toSeq.toDS(), d, s"$dir/state", s"$dir/out", 1L)
+      fixture.filter(_.conv_id == "c2").toSeq.toDS(), d, dir, s"$dir/out", 1L)
 
     // triple parity with the batch pipeline over the full fixture
-    val streamed = spark.read.parquet(s"$dir/out")
+    def streamedTriples() = spark.read.parquet(s"$dir/out")
       .select($"conv_id", $"turn_idx", $"subj", $"pred", $"obj")
-      .as[(String, Int, String, String, String)].collect().toSet
+      .as[(String, Int, String, String, String)].collect()
+    val streamed = streamedTriples().toSet
     val batchRun = graft.pipeline.Pipeline
       .run(spark, graft.pipeline.Transcripts.fixture(spark), d).triples
       .collect().map(t => (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)).toSet
@@ -440,15 +492,42 @@ class IncrementalKgSpec extends AnyFunSuite {
     // cross-batch ED: Stata (batch 0) and STATA (batch 1) share a component
     // in the accumulated state (maintained by INCREMENTAL CC — batch 1
     // never saw batch 0's edges, only its component labels)
-    val samples = graft.io.TableIO.read(spark, s"$dir/state/samples").as[LinkingSample]
-    val comps = graft.io.TableIO.read(spark, s"$dir/state/components")
+    val samples = graft.io.TableIO.readTable(spark, s"$dir/state", "samples").as[LinkingSample]
+    val comps = graft.io.TableIO.readTable(spark, s"$dir/state", "components")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val byMention = samples.collect().map(s => s.mention -> s.sample_id).toMap
     assert(comps(byMention("Stata")) == comps(byMention("STATA")))
     assert(comps(byMention("SPSS")) == comps(byMention("Statistical Package for the Social Sciences")))
     assert(comps(byMention("MATLAB")) != comps(byMention("Python")))
-    // two committed snapshots: one per batch
-    assert(graft.io.TableIO.currentSnapshot(s"$dir/state/samples") == 1L)
+    // two committed snapshots: one per batch, ONE pointer per batch (samples,
+    // components and the batch watermark move in a single atomic commit)
+    assert(graft.io.TableIO.currentSnapshot(s"$dir/state") == 1L)
+    assert(graft.io.TableIO.marker(s"$dir/state", "batch_id").contains("1"))
+
+    // crash-replay idempotency: a restarted stream re-delivers batch 1 — the
+    // committed watermark skips it, so triples and state are unchanged
+    val beforeReplay = streamedTriples().toList.sorted
+    graft.streaming.StreamingPipeline.processBatch(
+      fixture.filter(_.conv_id == "c2").toSeq.toDS(), d, dir, s"$dir/out", 1L)
+    assert(streamedTriples().toList.sorted == beforeReplay, "replayed batch must not duplicate triples")
+    assert(graft.io.TableIO.currentSnapshot(s"$dir/state") == 1L)
+
+    // crash BETWEEN the triples write and the state commit: batch 2's
+    // partition exists but the watermark never advanced — the replay
+    // overwrites the same batch_id=2 directory and then commits, yielding
+    // exactly-once output
+    val batch2 = fixture.filter(_.conv_id == "c1").toSeq.toDS()
+    val bc = Dicts.broadcast(spark, d)
+    graft.re.RelationExtractor.relations(batch2, bc).toDF()
+      .withColumn("subj_canon", $"subj_surface").withColumn("obj_canon", $"obj_surface")
+      .select($"subj_surface".as("subj"), $"pred", $"obj_surface".as("obj"),
+        $"conv_id", $"turn_idx", $"subj_canon", $"obj_canon")
+      .write.mode("overwrite").parquet(s"$dir/out/batch_id=2") // simulated partial write
+    graft.streaming.StreamingPipeline.processBatch(batch2, d, dir, s"$dir/out", 2L)
+    assert(graft.io.TableIO.marker(s"$dir/state", "batch_id").contains("2"))
+    val expectedB2 = graft.re.RelationExtractor.relations(batch2, bc).count()
+    assert(spark.read.parquet(s"$dir/out/batch_id=2").count() == expectedB2,
+      "batch-2 replay must overwrite its partition, not append to the partial write")
   }
 }
 
