@@ -175,7 +175,11 @@ object Bench {
     // measured runs — this host is a shared VM with 2-10% CPU-steal spikes
     // (measured via /proc/stat), so the minimum approximates the
     // uncontended machine better than any single run.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // 4 interleaved pairs: steal noise moves the two levels in OPPOSITE
+    // directions in an unlucky 3-rep window (one fast lo + one slow hi was
+    // measured at raw 0.58 in a window whose clean rerun gave 0.81); a 4th
+    // pair costs ~90s and buys the min() a second independent sample
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
     val turns = scaleConvs.toLong * turnsPer
     // INTERLEAVED hi/lo measurement pairs: this shared VM shows minutes-
     // scale CPU-steal drift, so measuring all-hi then all-lo lets the drift

@@ -123,6 +123,92 @@ object Hac {
     }.toMap
   }
 
+  /** G3b — the reference's `IntervalClustering` (`clustering.py:252-449`):
+    * instead of merging at the global minimum distance per round, sweep
+    * `nIntervals` equally spaced thresholds over [0, threshold]
+    * (`np.linspace`, first point 0 skipped — `clustering.py:276,400`); at
+    * each interval EVERY cluster pair whose linkage distance ≤ the interval
+    * merges, TRANSITIVELY, in one batch (`_match_clusters` over the full
+    * below-interval pair list, `clustering.py:316-328,403-417`). Newly
+    * formed clusters are not re-examined until the next interval (the
+    * reference's `new_clusters` bookkeeping). Consequences, pinned in
+    * HacSpec:
+    *  - single linkage converges to the same components as [[cluster]];
+    *  - complete/average linkage can merge MORE aggressively than exact
+    *    HAC: a batch chain a–b, b–c merges {a,b,c} even when the complete
+    *    distance a–c exceeds the threshold — the batched schedule IS the
+    *    reference algorithm, not an approximation of [[cluster]].
+    */
+  def intervalCluster(ids: IndexedSeq[Long], dist: (Int, Int) => Double,
+      linkage: String, threshold: Double, nIntervals: Int): Map[Long, Long] = {
+    require(Set("single", "complete", "average")(linkage), s"unknown linkage $linkage")
+    require(nIntervals >= 2, "need at least 2 linspace points (0 and threshold)")
+    val n = ids.length
+    if (n == 0) return Map.empty
+    if (n == 1) return Map(ids(0) -> ids(0))
+    val d = Array.ofDim[Double](n, n)
+    var di = 0
+    while (di < n) {
+      var dj = di + 1
+      while (dj < n) {
+        val v = dist(di, dj)
+        d(di)(dj) = v
+        d(dj)(di) = v
+        dj += 1
+      }
+      di += 1
+    }
+    def linkDist(a: Vector[Int], b: Vector[Int]): Double = {
+      val all = for (x <- a; y <- b) yield d(x)(y)
+      linkage match {
+        case "single"   => all.min
+        case "complete" => all.max
+        case "average"  => all.sum / all.length
+      }
+    }
+    // linspace(0, threshold, nIntervals) without the leading 0
+    val intervals = (1 until nIntervals).map(i => threshold * i / (nIntervals - 1.0))
+    var clusters: Map[Int, Vector[Int]] = (0 until n).map(i => i -> Vector(i)).toMap
+    var nextId = n
+    for (interval <- intervals) {
+      val keys = clusters.keys.toIndexedSeq.sorted
+      val matches = for {
+        ai <- keys.indices
+        bi <- ai + 1 until keys.length
+        if linkDist(clusters(keys(ai)), clusters(keys(bi))) <= interval
+      } yield (keys(ai), keys(bi))
+      if (matches.nonEmpty) {
+        var groups = matches.toVector.map { case (a, b) => Set(a, b) }
+        var merged = true
+        while (merged) {
+          merged = false
+          var i = 0
+          while (i < groups.length && !merged) {
+            var j = i + 1
+            while (j < groups.length && !merged) {
+              if ((groups(i) & groups(j)).nonEmpty) {
+                groups = groups.updated(i, groups(i) | groups(j)).patch(j, Nil, 1)
+                merged = true
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        for (g <- groups) {
+          val members = g.toVector.flatMap(clusters(_))
+          clusters = clusters -- g
+          clusters += (nextId -> members)
+          nextId += 1
+        }
+      }
+    }
+    clusters.values.flatMap { members =>
+      val root = members.map(ids(_)).min
+      members.map(m => ids(m) -> root)
+    }.toMap
+  }
+
   /** Distributed per-block HAC: samples group by their PRIMARY blocking key
     * (the `n:` normalized surface by default — override `blockKey` for
     * coarser candidate sets), each block clusters independently with the
@@ -136,7 +222,8 @@ object Hac {
   def clusters(samples: Dataset[LinkingSample], dicts: Broadcast[Dicts],
       threshold: Double, linkage: String,
       blockKey: LinkingSample => String = s => s.norm,
-      maxBlock: Int = 256): DataFrame = {
+      maxBlock: Int = 256,
+      nIntervals: Option[Int] = None): DataFrame = {
     val spark = samples.sparkSession
     import spark.implicits._
     samples
@@ -146,8 +233,11 @@ object Hac {
         val (inBlock, overflow) = all.splitAt(maxBlock)
         val d = dicts.value
         val ids = inBlock.map(_.sample_id)
-        val assigned = cluster(ids, (i, j) => PairScorer.distance(inBlock(i), inBlock(j), d),
-          linkage, threshold)
+        val distFn = (i: Int, j: Int) => PairScorer.distance(inBlock(i), inBlock(j), d)
+        val assigned = nIntervals match {
+          case Some(k) => intervalCluster(ids, distFn, linkage, threshold, k)
+          case None    => cluster(ids, distFn, linkage, threshold)
+        }
         assigned.iterator.map { case (id, root) => (id, root) } ++
           overflow.iterator.map(s => (s.sample_id, s.sample_id))
       }

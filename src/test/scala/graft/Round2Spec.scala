@@ -388,6 +388,50 @@ class HacSpec extends AnyFunSuite {
     assert(got(1L) == got(2L)) // same norm block, distance 0
     assert(got(3L) != got(1L))
   }
+
+  test("G3b interval clustering: per-interval BATCHED transitive merge (clustering.py:252-449)") {
+    val ids = IndexedSeq(1L, 2L, 3L)
+    val d = mkDist(Map((0, 1) -> 0.3, (1, 2) -> 0.4, (0, 2) -> 0.9)) _
+    // one interval at the threshold (linspace(0, 0.5, 2)[1:] = [0.5]): the
+    // pair list {1-2 (0.3), 2-3 (0.4)} merges TRANSITIVELY into {1,2,3}
+    // even though the complete distance 1-3 is 0.9 — the reference's
+    // _match_clusters batch semantics, NOT exact HAC
+    assert(graft.ed.Hac.intervalCluster(ids, d, "complete", 0.5, nIntervals = 2)
+      .values.toSet == Set(1L))
+    // exact complete-linkage HAC on the same input stops at {1,2},{3}
+    assert(graft.ed.Hac.cluster(ids, d, "complete", 0.5) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // finer intervals restore the staged schedule: at 0.25 nothing merges,
+    // at 0.5 the same batch applies — result identical to 2 intervals here
+    assert(graft.ed.Hac.intervalCluster(ids, d, "complete", 0.5, nIntervals = 3)
+      .values.toSet == Set(1L))
+  }
+
+  test("G3b interval clustering: single linkage == plain HAC == union-find components") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 10
+      val ids = IndexedSeq.tabulate(n)(i => (i + 1).toLong)
+      val dm = (for (i <- 0 until n; j <- i + 1 until n) yield (i, j) -> rnd.nextDouble()).toMap
+      val thr = 0.3
+      val hac = graft.ed.Hac.cluster(ids, mkDist(dm), "single", thr)
+      val ic = graft.ed.Hac.intervalCluster(ids, mkDist(dm), "single", thr, nIntervals = 7)
+      assert(ic == hac, s"trial $trial")
+    }
+  }
+
+  test("G3b interval clustering: distributed per-block form (nIntervals hook)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def sample(id: Long, mention: String) =
+      LinkingSample(id, "c", 0, 0, mention, Normalize.removeSpaces(mention),
+        Normalize.normalize(mention), "Application_Usage", Nil)
+    val samples = Seq(sample(1, "Stata"), sample(2, "STATA"), sample(3, "SPSS")).toDS()
+    val bc = Dicts.broadcast(spark, Dicts.fixture)
+    val got = graft.ed.Hac.clusters(samples, bc, threshold = 0.13, linkage = "average",
+      nIntervals = Some(10)).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L) && got(3L) != got(1L))
+  }
 }
 
 class PairFeaturesSpec extends AnyFunSuite {
