@@ -148,7 +148,12 @@ object Dedup {
     val candIds = cand.select(col("src").as("doc_id"))
       .union(cand.select(col("dst").as("doc_id"))).distinct()
     val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
-    jaccardOf(cand, shingles(candDocs, k)).filter(col("jaccard") >= threshold)
+    // the verification shingle set is consumed three times inside jaccardOf
+    // (both sides of the common-shingle join + the per-doc counts); it is
+    // candidate-bounded, so materialize once instead of re-running the
+    // semi-join + explode + distinct per consumer
+    val candShingles = shingles(candDocs, k).localCheckpoint()
+    jaccardOf(cand, candShingles).filter(col("jaccard") >= threshold)
   }
 
   /** True n-gram Jaccard for given candidate (src,dst) pairs. */
