@@ -28,6 +28,31 @@ object StreamingPipeline {
   def mentions(turns: Dataset[Turn], d: Dicts): Dataset[Mention] =
     MentionDetector.mentions(turns, turns.sparkSession.sparkContext.broadcast(d))
 
+  /** Running mention totals per surface via `mapGroupsWithState` — the
+    * custom-state streaming shape (north_star: KeyValueGroupedDataset
+    * custom state) that windowed aggregation can't express: state is an
+    * arbitrary per-key value the user folds batch-by-batch (here a running
+    * count + first-seen batch ordinal), emitted in Update mode on every
+    * change. Scale shape: state lives in the state store keyed by surface
+    * — one row per DISTINCT surface, not per occurrence; a hot key folds
+    * its occurrences within each micro-batch before touching the store.
+    */
+  def runningMentionCounts(turns: Dataset[Turn], d: Dicts): Dataset[(String, Long, Long)] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    mentions(turns, d)
+      .groupByKey(_.surface)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (surface: String, occs: Iterator[Mention], state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          val batchN = occs.size.toLong
+          val (prevTotal, prevBatches) = state.getOption.getOrElse((0L, 0L))
+          val next = (prevTotal + batchN, prevBatches + 1)
+          state.update(next)
+          (surface, next._1, next._2)
+      }
+  }
+
   /** Windowed mention counts with a watermark: event-time tumbling window
     * over `ts`, counting mentions per surface.
     */

@@ -131,6 +131,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("mapGroupsWithState running mention counts: state folds across micro-batches, totals equal batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    val t1 = Transcripts.fixture(spark)
+    val t2 = t1.map(t => t.copy(conv_id = t.conv_id + "_b"))
+    // two single-file writes + maxFilesPerTrigger=1 → every surface arrives
+    // in (at least) two separate micro-batches, so the per-key state must
+    // genuinely fold, not just initialize
+    t1.coalesce(1).write.mode("overwrite").parquet(dir)
+    t2.coalesce(1).write.mode("append").parquet(dir)
+    val streamingTurns = spark.readStream.schema(t1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[graft.core.Turn]
+    val counts = StreamingPipeline.runningMentionCounts(streamingTurns, Dicts.fixture)
+    val q = counts.toDF("surface", "total", "batches").writeStream
+      .outputMode("update").format("memory").queryName("rc_sink").start()
+    q.processAllAvailable()
+    q.stop()
+    val finalTotals = spark.sql("SELECT surface, max(total) AS t FROM rc_sink GROUP BY surface")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.ner.MentionDetector
+      .mentions(spark, t1.unionByName(t2).as[graft.core.Turn], Dicts.fixture)
+      .groupBy($"surface").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finalTotals == batch)
+    assert(spark.sql("SELECT max(batches) AS b FROM rc_sink").head().getLong(0) >= 2,
+      "state must have folded across at least two micro-batches")
+  }
+
   test("windowed mention counts with watermark run in streaming mode") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream2").toString
