@@ -39,6 +39,24 @@ object Blocking {
 
   final case class SampleKey(key: String, id: Long)
 
+  /** Blocking keys of `samples` with the deterministic per-key skew cap —
+    * the ONE definition of the cap discipline, shared by the in-set join
+    * ([[edges]]) and the cross-set compare join ([[EdEval.edgesBetween]])
+    * so the two cannot drift. Returns (key, `idName`) rows, at most
+    * `maxBlockSize` per key by sample_id rank.
+    */
+  def keyedCapped(samples: Dataset[LinkingSample], dicts: Broadcast[Dicts],
+      idName: String, maxBlockSize: Int): org.apache.spark.sql.DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val keyed = samples
+      .flatMap(s => keysFor(s, dicts.value).map(k => (k, s.sample_id)))
+      .toDF("key", idName)
+    val w = Window.partitionBy(col("key")).orderBy(col(idName))
+    keyed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxBlockSize).drop("rk")
+  }
+
   def keysFor(s: LinkingSample, d: Dicts): Seq[String] = {
     val norm = s.norm
     val noSpace = norm.replace(" ", "")
@@ -73,14 +91,8 @@ object Blocking {
     val spark = samples.sparkSession
     import spark.implicits._
 
-    val keyed = samples.flatMap(s => keysFor(s, dicts.value).map(k => SampleKey(k, s.sample_id)))
-
     // deterministic per-block cap (O3-style): rank by sample_id
-    val w = Window.partitionBy($"key").orderBy($"id")
-    val capped = keyed.toDF()
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= maxBlockSize)
-      .drop("rk")
+    val capped = keyedCapped(samples, dicts, "id", maxBlockSize)
 
     // within-block candidate pairs, i<j (J7 bounded θ-join)
     val a = capped.as("a")

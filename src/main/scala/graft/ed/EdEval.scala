@@ -140,16 +140,8 @@ object EdEval {
       scoredCounter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Edge] = {
     val spark = newSamples.sparkSession
     import spark.implicits._
-    def keyedCapped(samples: Dataset[LinkingSample], idName: String) = {
-      val keyed = samples
-        .flatMap(s => Blocking.keysFor(s, dicts.value).map(k => (k, s.sample_id)))
-        .toDF("key", idName)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("key")).orderBy(col(idName))
-      keyed.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= maxBlockSize).drop("rk")
-    }
-    val candidates = keyedCapped(newSamples, "src").join(keyedCapped(oldSamples, "dst"), "key")
+    val candidates = Blocking.keyedCapped(newSamples, dicts, "src", maxBlockSize)
+      .join(Blocking.keyedCapped(oldSamples, dicts, "dst", maxBlockSize), "key")
       .select(col("src"), col("dst")).distinct()
     val withPayload = candidates
       .join(newSamples.toDF().as("sa"), col("src") === col("sa.sample_id"))

@@ -35,6 +35,27 @@ object Hac {
   private def isClose(a: Double, b: Double): Boolean =
     math.abs(a - b) <= 1e-9 * math.max(math.abs(a), math.abs(b))
 
+  /** Pairwise distance matrix with ONE dist() call per unordered pair,
+    * mirrored (the scorer is the expensive part; scored-once is an
+    * invariant everywhere in this engine) — shared by [[cluster]] and
+    * [[intervalCluster]].
+    */
+  private def pairwiseMatrix(n: Int, dist: (Int, Int) => Double): Array[Array[Double]] = {
+    val d = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val v = dist(i, j)
+        d(i)(j) = v
+        d(j)(i) = v
+        j += 1
+      }
+      i += 1
+    }
+    d
+  }
+
   /** One HAC run over a bounded set. `dist(i, j)` is the pairwise item
     * distance (indices into `ids`). Returns item id → cluster id, where the
     * cluster id is the minimum member id (deterministic representative —
@@ -47,21 +68,8 @@ object Hac {
     if (n == 0) return Map.empty
     if (n == 1) return Map(ids(0) -> ids(0))
     // cache the item-pair distances once (the reference precomputes the
-    // condensed matrix) — ONE dist() call per unordered pair, mirrored into
-    // the lower triangle (the scorer is the expensive part; scored-once is
-    // an invariant everywhere else in this engine)
-    val d = Array.ofDim[Double](n, n)
-    var di = 0
-    while (di < n) {
-      var dj = di + 1
-      while (dj < n) {
-        val v = dist(di, dj)
-        d(di)(dj) = v
-        d(dj)(di) = v
-        dj += 1
-      }
-      di += 1
-    }
+    // condensed matrix)
+    val d = pairwiseMatrix(n, dist)
 
     var clusters: Map[Int, Vector[Int]] = (0 until n).map(i => i -> Vector(i)).toMap
     var nextId = n
@@ -146,18 +154,7 @@ object Hac {
     val n = ids.length
     if (n == 0) return Map.empty
     if (n == 1) return Map(ids(0) -> ids(0))
-    val d = Array.ofDim[Double](n, n)
-    var di = 0
-    while (di < n) {
-      var dj = di + 1
-      while (dj < n) {
-        val v = dist(di, dj)
-        d(di)(dj) = v
-        d(dj)(di) = v
-        dj += 1
-      }
-      di += 1
-    }
+    val d = pairwiseMatrix(n, dist)
     def linkDist(a: Vector[Int], b: Vector[Int]): Double = {
       val all = for (x <- a; y <- b) yield d(x)(y)
       linkage match {

@@ -32,8 +32,9 @@ object StreamingPipeline {
     * custom-state streaming shape (north_star: KeyValueGroupedDataset
     * custom state) that windowed aggregation can't express: state is an
     * arbitrary per-key value the user folds batch-by-batch (here a running
-    * count + first-seen batch ordinal), emitted in Update mode on every
-    * change. Scale shape: state lives in the state store keyed by surface
+    * occurrence total + the number of micro-batches the surface appeared
+    * in), emitted in Update mode on every change. Scale shape: state lives
+    * in the state store keyed by surface
     * — one row per DISTINCT surface, not per occurrence; a hot key folds
     * its occurrences within each micro-batch before touching the store.
     */
@@ -130,12 +131,23 @@ object StreamingPipeline {
     if (batch.isEmpty) return
     val stateBase = s"$stateDir/state"
     val committedBatch = TableIO.marker(stateBase, "batch_id").flatMap(_.toLongOption).getOrElse(-1L)
-    if (batchId <= committedBatch) return // replay of a committed batch
+    if (batchId == committedBatch) return // replay of the committed batch
+    // Spark's streaming checkpoint only ever re-delivers the LAST batch; an
+    // id BELOW the committed watermark means the source's batch numbering
+    // regressed — a lost/reset checkpointLocation. Silently skipping would
+    // drop NEW data under recycled ids; fail loudly instead.
+    require(batchId > committedBatch,
+      s"batch id $batchId regressed below committed watermark $committedBatch under $stateBase — " +
+        "the streaming checkpointLocation was lost/reset; restore it or start a fresh stateDir")
     val bc = Dicts.broadcast(spark, d)
 
     val relations = RelationExtractor.relations(batch, bc).persist()
     val mentions = MentionDetector.mentions(batch, bc)
     val newSamples = Linking.samples(mentions, relations).persist()
+    var freshNewP: Dataset[LinkingSample] = null
+    var newEdgesP: Dataset[Edge] = null
+    var allSamplesP: Dataset[LinkingSample] = null
+    try {
 
     val haveState = TableIO.currentSnapshot(stateBase) >= 0
     val oldSamples: Dataset[LinkingSample] =
@@ -145,11 +157,14 @@ object StreamingPipeline {
     // new-vs-new + new-vs-old (old samples keep their contexts: first wins)
     val freshNew = newSamples.join(oldSamples.select($"sample_id"), Seq("sample_id"), "left_anti")
       .as[LinkingSample].persist()
+    freshNewP = freshNew
     freshNew.count()
     val batchEdges = Blocking.edges(freshNew, bc)
     val crossEdges = EdEval.edgesBetween(freshNew, oldSamples, bc)
     val newEdges = EdEval.mergeEdgeSets(Seq(batchEdges, crossEdges)).persist()
+    newEdgesP = newEdges
     val allSamples = oldSamples.unionByName(freshNew).persist()
+    allSamplesP = allSamples
 
     // incremental CC: previous component labels replace the edge history —
     // per-batch work stays proportional to (batch edges + seen vertices)
@@ -184,8 +199,15 @@ object StreamingPipeline {
     TableIO.writeSnapshotTables(stateBase,
       Seq("samples" -> allSamples.toDF(), "components" -> components),
       Map("batch_id" -> batchId.toString))
-    relations.unpersist(); newSamples.unpersist(); freshNew.unpersist()
-    newEdges.unpersist(); allSamples.unpersist()
+    } finally {
+      // release the batch caches on FAILURE too — foreachBatch retries the
+      // batch, and leaked persists (allSamples is the full accumulated
+      // state) would pile up across retries in a long-running stream
+      relations.unpersist(); newSamples.unpersist()
+      if (freshNewP != null) freshNewP.unpersist()
+      if (newEdgesP != null) newEdgesP.unpersist()
+      if (allSamplesP != null) allSamplesP.unpersist()
+    }
   }
 
   /** Drive a bounded source through the streaming mention path into an
