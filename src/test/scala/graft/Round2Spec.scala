@@ -135,7 +135,8 @@ class BratSpec extends AnyFunSuite {
     import spark.implicits._
     val ann = Brat.parse(Seq(
       ("p1", "T1\tApplication_Usage 0 5\tStata\nT2\tVersion 6 10\t13.1\nR1\tVersion_of Arg1:T2 Arg2:T1\t"),
-      ("p2", "T1\tApplication_Mention 0 5\tSTATA\nT2\tSoftwareCoreference_Deposition 6 8\tit")).toDS())
+      ("p2", "T1\tApplication_Mention 0 5\tSTATA\nT2\tSoftwareCoreference_Deposition 6 8\tit"),
+      ("p3", "T1\tVersion 0 3\t2.1")).toDS())
     // canonicalMap-shaped input: both case variants share one cluster id
     val canon = Seq(("Stata", 7L), ("STATA", 7L)).toDF("mention", "canonical")
     val files = Brat.uniqueFiles(ann, canon).collect().toMap
@@ -148,6 +149,8 @@ class BratSpec extends AnyFunSuite {
     assert(files("p2") ==
       "T1\tApplication_Mention 0 5\tSTATA\t7\n" +
         "T2\tSoftwareCoreference_Deposition 6 8\tit\n")
+    // a document with NO unique-mapped entities still re-emits (left join)
+    assert(files("p3") == "T1\tVersion 0 3\t2.1\n")
   }
 }
 
@@ -572,6 +575,12 @@ class IncrementalKgSpec extends AnyFunSuite {
     val expectedB2 = graft.re.RelationExtractor.relations(batch2, bc).count()
     assert(spark.read.parquet(s"$dir/out/batch_id=2").count() == expectedB2,
       "batch-2 replay must overwrite its partition, not append to the partial write")
+
+    // a batch id BELOW the committed watermark (watermark is 2; id 0 would
+    // only recur if the streaming checkpoint was lost and numbering reset)
+    // must fail loudly, not silently skip new data under a recycled id
+    assertThrows[IllegalArgumentException](
+      graft.streaming.StreamingPipeline.processBatch(batch2, d, dir, s"$dir/out", 0L))
   }
 }
 
