@@ -141,6 +141,25 @@ object TableIO {
     }
   }
 
+  /** Bucketed materialization for CO-LOCATED joins (north_rule partitioning
+    * discipline): both sides of a recurring equi-join written with the same
+    * bucket count on the join key join WITHOUT any shuffle — the
+    * physical plan has no Exchange on either input (asserted in
+    * BucketedJoinSpec). This is the storage-level answer for joins that
+    * repeat across runs (e.g. samples ⋈ edges, canonical back-joins): pay
+    * the bucketing once at write, skip the shuffle every read. Uses the
+    * session catalog (`saveAsTable` — bucket metadata has no pure-path
+    * form); bucket files are plain parquet under the warehouse dir.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Drop all snapshots older than the current one (vacuum). */
   def vacuum(base: String): Unit = {
     val cur = currentSnapshot(base)

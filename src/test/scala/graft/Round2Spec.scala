@@ -626,6 +626,34 @@ class TableIOSpec extends AnyFunSuite {
   }
 }
 
+class BucketedJoinSpec extends AnyFunSuite {
+  test("bucketed tables join with NO shuffle exchange (co-located join)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force SMJ path
+    try {
+      val a = (1L to 1000L).map(i => (i, s"surface_$i")).toDF("sample_id", "mention")
+      val b = (1L to 1000L).filter(_ % 3 == 0).map(i => (i, i * 10)).toDF("sample_id", "score")
+      graft.io.TableIO.writeBucketed(a, "graft_bkt_samples", Seq("sample_id"), 4)
+      graft.io.TableIO.writeBucketed(b, "graft_bkt_edges", Seq("sample_id"), 4)
+      val joined = spark.table("graft_bkt_samples").join(spark.table("graft_bkt_edges"), "sample_id")
+      val rows = joined.count()
+      assert(rows == b.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed co-located join must not shuffle either side:\n$plan")
+      // values identical to the plain join
+      val plain = a.join(b, "sample_id").collect().map(_.toString).toSet
+      assert(joined.collect().map(_.toString).toSet == plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_samples")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_edges")
+    }
+  }
+}
+
 class DedupSkewSpec extends AnyFunSuite {
   test("capped buckets keep degenerate near-identical corpora sub-quadratic") {
     val spark = SparkTestSession.spark

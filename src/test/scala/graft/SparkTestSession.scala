@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
   */
 object SparkTestSession {
   lazy val spark: SparkSession = {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
@@ -14,6 +15,7 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir", warehouse) // bucketed saveAsTable lands in tmp
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
