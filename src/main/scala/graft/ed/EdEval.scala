@@ -24,21 +24,32 @@ object EdEval {
     * `gold`: (sample_id, gold_id) — two samples are gold-linked iff equal
     * gold_id. Pairs are restricted to gold-labeled samples (the reference
     * evaluates only samples with an `eval` mark).
+    *
+    * Computed from the (component, gold_id) CONTINGENCY COUNTS, never by
+    * materializing the O(n²) pair space: tp = Σ C(n_cell,2), predicted
+    * pairs = Σ C(n_component,2), gold pairs = Σ C(n_gold,2), total =
+    * C(n,2) — three small aggregations. (A self-join formulation would
+    * build 5·10¹¹ rows at 10⁶ gold samples just to fill four counters.)
+    * C(n,2) uses shiftright(n·(n−1), 1): exact integer halving, no double
+    * rounding; ANSI mode faults loudly if a count ever overflows a long.
     */
   def pairMetrics(components: DataFrame, gold: DataFrame): DataFrame = {
+    def c2(c: org.apache.spark.sql.Column) = shiftright(c * (c - 1), 1)
     val g = gold.select(col("sample_id").as("id"), col("gold_id"))
       .join(components.select(col("id"), col("component")), "id")
-    val a = g.select(col("id").as("id_a"), col("gold_id").as("g_a"), col("component").as("c_a"))
-    val b = g.select(col("id").as("id_b"), col("gold_id").as("g_b"), col("component").as("c_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(
-        (col("c_a") === col("c_b")).as("pred"),
-        (col("g_a") === col("g_b")).as("gold"))
-      .agg(
-        sum(when(col("pred") && col("gold"), 1).otherwise(0)).as("tp"),
-        sum(when(col("pred") && !col("gold"), 1).otherwise(0)).as("fp"),
-        sum(when(!col("pred") && col("gold"), 1).otherwise(0)).as("fn"),
-        sum(when(!col("pred") && !col("gold"), 1).otherwise(0)).as("tn"))
+    val cells = g.groupBy("component", "gold_id").agg(count(lit(1)).as("ncg"))
+    val tpN = cells.agg(
+      coalesce(sum(c2(col("ncg"))), lit(0L)).as("tp"),
+      coalesce(sum(col("ncg")), lit(0L)).as("n"))
+    val pred = cells.groupBy("component").agg(sum(col("ncg")).as("nc"))
+      .agg(coalesce(sum(c2(col("nc"))), lit(0L)).as("pred_pairs"))
+    val goldPairs = cells.groupBy("gold_id").agg(sum(col("ncg")).as("ng"))
+      .agg(coalesce(sum(c2(col("ng"))), lit(0L)).as("gold_pairs"))
+    tpN.crossJoin(pred).crossJoin(goldPairs)
+      .select(col("tp"),
+        (col("pred_pairs") - col("tp")).as("fp"),
+        (col("gold_pairs") - col("tp")).as("fn"),
+        (c2(col("n")) - col("pred_pairs") - col("gold_pairs") + col("tp")).as("tn"))
       .withColumn("precision", round(col("tp") / greatest(col("tp") + col("fp"), lit(1)), 4))
       .withColumn("recall", round(col("tp") / greatest(col("tp") + col("fn"), lit(1)), 4))
   }
@@ -105,7 +116,11 @@ object EdEval {
     val spark = samples.sparkSession
     import spark.implicits._
     val vertices = samples.select($"sample_id".as[java.lang.Long])
-    val cached = scoredEdges.persist()
+    // take cache ownership only if the caller hasn't (same discipline as
+    // ConnectedComponents.run) — unconditionally unpersisting would evict a
+    // caller-owned cache (e.g. Pipeline.run's scored-once edge cache)
+    val ownPersist = scoredEdges.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (ownPersist) scoredEdges.persist() else scoredEdges
     cached.count()
     val results = thresholds.map { t =>
       val comps = ConnectedComponents.run(vertices, cached.filter($"dist" <= t).as[Edge])
@@ -113,7 +128,7 @@ object EdEval {
       val rows = java.util.Arrays.asList(m.collect(): _*) // one aggregate row
       (t, spark.createDataFrame(rows, m.schema))
     }
-    cached.unpersist()
+    if (ownPersist) cached.unpersist()
     results
   }
 

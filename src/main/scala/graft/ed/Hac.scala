@@ -85,12 +85,17 @@ object Hac {
         }
       }
       val keys = clusters.keys.toIndexedSeq.sorted
-      var smallest = 1.0
+      // Double.PositiveInfinity, NOT the reference's implicit 1.0 bound: the
+      // public dist() is caller-supplied and unbounded, and a 1.0 sentinel
+      // would make any distance in (1.0, threshold] unreachable (and treat a
+      // first value of exactly 1.0 as a "tie" with the sentinel). matches is
+      // checked non-empty before the tie test so isClose never sees infinity.
+      var smallest = Double.PositiveInfinity
       var matches = Vector.empty[(Int, Int)]
       for (ai <- keys.indices; bi <- ai + 1 until keys.length) {
         val a = keys(ai); val b = keys(bi)
         val v = linkDist(clusters(a), clusters(b))
-        if (isClose(smallest, v)) {
+        if (matches.nonEmpty && isClose(smallest, v)) {
           matches :+= ((a, b))
         } else if (v < smallest) {
           smallest = v

@@ -169,7 +169,11 @@ object TableIO {
     try {
       ls.forEach { p =>
         val name = p.getFileName.toString
-        if (name.startsWith("snapshot=") && name.stripPrefix("snapshot=").toLong < cur) {
+        // toLongOption: a stray non-numeric snapshot=* entry (manual backup)
+        // is skipped here exactly as the read paths skip it — a throwing
+        // vacuum would silently stop ALL retention cleanup
+        if (name.startsWith("snapshot=") &&
+            name.stripPrefix("snapshot=").toLongOption.exists(_ < cur)) {
           val walk = Files.walk(p)
           try walk.sorted(java.util.Comparator.reverseOrder()).forEach((f: Path) => Files.delete(f))
           finally walk.close()

@@ -181,14 +181,30 @@ object Checkpoints {
 
   /** Deterministic fingerprint of the dictionary bundle + threshold config
     * (cheap driver-side digest — the dicts are broadcast-sized by contract).
+    *
+    * Covers EVERY field that can change detection/scoring output —
+    * inverted keys AND their source-id values, strongSources, sourceType,
+    * both DBpedia maps, licenses, threshold. (Round 3 review: the earlier
+    * digest hashed only inverted KEYS + sourceIds + dbpediaUnique, so
+    * promoting a source to strong, retyping a source, or moving a surface
+    * between sources resumed STALE checkpoints silently; it also
+    * concatenated sorted keys with no separator, so {"ab","c"} and
+    * {"a","bc"} collided.) Fields are joined with control-character
+    * separators that cannot occur in surfaces.
     */
   def configFingerprint(d: graft.dicts.Dicts, threshold: Double): String = {
-    val digest = graft.core.Hash61.hash(
-      d.inverted.keysIterator.toSeq.sorted.mkString("") + "" +
-        d.sourceIds.toSeq.sortBy(_._1).mkString(",") + "" +
-        d.dbpediaUnique.toSeq.sortBy(_._1).map { case (k, v) => k + "->" + v.toSeq.sorted.mkString("|") }
-          .mkString(";") + "" + threshold)
-    java.lang.Long.toHexString(digest)
+    def kv(pairs: Seq[(String, String)]): String =
+      pairs.sortBy(_._1).map { case (k, v) => k + "" + v }.mkString("")
+    val repr = Seq(
+      kv(d.sourceIds.toSeq.map { case (k, v) => (k, v.toString) }),
+      kv(d.inverted.toSeq.map { case (k, v) => (k, v.mkString(",")) }),
+      d.strongSources.toSeq.sorted.mkString(","),
+      kv(d.sourceType.toSeq.map { case (k, v) => (k.toString, v) }),
+      kv(d.dbpediaUnique.toSeq.map { case (k, v) => (k, v.toSeq.sorted.mkString(",")) }),
+      kv(d.dbpediaLabel.toSeq.map { case (k, v) => (k, v.toSeq.sorted.mkString(",")) }),
+      d.licenses.toSeq.sorted.mkString(""),
+      threshold.toString).mkString("")
+    java.lang.Long.toHexString(graft.core.Hash61.hash(repr))
   }
 
   /** The checkpointed end-to-end pipeline: every stage materializes to

@@ -5,7 +5,6 @@ import graft.dicts.Dicts
 import graft.ed.{Blocking, ConnectedComponents, EdEval, Linking}
 import graft.io.TableIO
 import graft.ner.MentionDetector
-import graft.re.RelationExtractor
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -55,14 +54,22 @@ object StreamingPipeline {
   }
 
   /** Windowed mention counts with a watermark: event-time tumbling window
-    * over `ts`, counting mentions per surface.
+    * over `ts`, counting mentions per surface. The event time is carried
+    * THROUGH the single detection pass — round 2 re-joined the mention
+    * stream back to the turn stream, a stream-stream join whose state no
+    * watermark can evict (the watermark sat after the join), i.e. unbounded
+    * state growth on a long-running query. One branch, no join: only the
+    * windowed aggregation holds state, and the watermark bounds it.
     */
   def windowedMentionCounts(turns: Dataset[Turn], d: Dicts,
       window: String = "5 minutes", watermark: String = "10 minutes"): DataFrame = {
     val spark = turns.sparkSession
     import spark.implicits._
-    val m = mentions(turns, d)
-    val withTs = m.join(turns.select($"conv_id", $"turn_idx", $"ts"), Seq("conv_id", "turn_idx"))
+    val bc = spark.sparkContext.broadcast(d)
+    val withTs = turns.mapPartitions { it =>
+      val dicts = bc.value
+      it.flatMap(t => MentionDetector.detect(t.text, dicts).map(s => (s.surface, t.ts)))
+    }.toDF("surface", "ts")
     withTs
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window($"ts", window), $"surface")
@@ -100,17 +107,26 @@ object StreamingPipeline {
     */
   def incrementalTriples(streamTurns: Dataset[Turn], d: Dicts,
       stateDir: String, outDir: String, queryName: String): StreamingQuery = {
+    // broadcast ONCE for the life of the query — the dicts are immutable;
+    // re-broadcasting per micro-batch (round 2) re-shipped the bundle every
+    // second and accumulated stale broadcast blocks until driver GC
+    val bc = streamTurns.sparkSession.sparkContext.broadcast(d)
     val q = streamTurns.writeStream
       .outputMode(OutputMode.Append)
       .queryName(queryName)
       .option("checkpointLocation", s"$stateDir/_spark_checkpoint")
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
-        processBatch(batch, d, stateDir, outDir, batchId)
+        processBatch(batch, bc, stateDir, outDir, batchId)
       }
       .start()
     q
   }
+
+  /** [[processBatch]] with a per-call broadcast (test convenience). */
+  def processBatch(batch: Dataset[Turn], d: Dicts, stateDir: String, outDir: String,
+      batchId: Long): Unit =
+    processBatch(batch, Dicts.broadcast(batch.sparkSession, d), stateDir, outDir, batchId)
 
   /** One micro-batch of the incremental flow (exposed for tests).
     *
@@ -124,8 +140,8 @@ object StreamingPipeline {
     * A crash between 2 and 3 replays the batch: step 2 overwrites the same
     * partition, step 3 commits — no duplicates, no loss.
     */
-  def processBatch(batch: Dataset[Turn], d: Dicts, stateDir: String, outDir: String,
-      batchId: Long): Unit = {
+  def processBatch(batch: Dataset[Turn], bc: org.apache.spark.broadcast.Broadcast[Dicts],
+      stateDir: String, outDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
@@ -139,10 +155,20 @@ object StreamingPipeline {
     require(batchId > committedBatch,
       s"batch id $batchId regressed below committed watermark $committedBatch under $stateBase — " +
         "the streaming checkpointLocation was lost/reset; restore it or start a fresh stateDir")
-    val bc = Dicts.broadcast(spark, d)
 
-    val relations = RelationExtractor.relations(batch, bc).persist()
-    val mentions = MentionDetector.mentions(batch, bc)
+    // ONE fused detection pass per batch (same discipline as Pipeline.run /
+    // Checkpoints.runPipelineWith — round 2's streaming path scanned every
+    // turn twice, once per extractor); both views project the cached flat
+    // table
+    val det = graft.pipeline.Pipeline.detectFlat(batch, bc).persist()
+    val detDF = det.toDF()
+    val relations = detDF.filter($"kind" === "r")
+      .select($"conv_id", $"turn_idx", $"pred", $"subj_beg", $"subj_surface", $"subj_label",
+        $"obj_beg", $"obj_surface", $"obj_label")
+      .as[Relation]
+    val mentions = detDF.filter($"kind" === "m")
+      .select($"conv_id", $"turn_idx", $"mention_id", $"label", $"beg", $"end", $"surface")
+      .as[Mention]
     val newSamples = Linking.samples(mentions, relations).persist()
     var freshNewP: Dataset[LinkingSample] = null
     var newEdgesP: Dataset[Edge] = null
@@ -203,7 +229,7 @@ object StreamingPipeline {
       // release the batch caches on FAILURE too — foreachBatch retries the
       // batch, and leaked persists (allSamples is the full accumulated
       // state) would pile up across retries in a long-running stream
-      relations.unpersist(); newSamples.unpersist()
+      det.unpersist(); newSamples.unpersist()
       if (freshNewP != null) freshNewP.unpersist()
       if (newEdgesP != null) newEdgesP.unpersist()
       if (allSamplesP != null) allSamplesP.unpersist()

@@ -101,6 +101,22 @@ class ResumeSpec extends AnyFunSuite {
       "changed input must recompute the detection stage")
   }
 
+  test("configFingerprint covers every detection-relevant dict field") {
+    val base = Dicts.fixture
+    def fp(d: Dicts, t: Double = 0.13) = Checkpoints.configFingerprint(d, t)
+    val f0 = fp(base)
+    assert(f0 == fp(Dicts.fixture), "deterministic")
+    assert(f0 != fp(base, 0.2), "threshold")
+    assert(f0 != fp(base.copy(strongSources = base.strongSources.tail)), "strong set")
+    assert(f0 != fp(base.copy(sourceType = base.sourceType.updated(0, "PlugIn"))), "source type")
+    assert(f0 != fp(base.copy(licenses = base.licenses + "ZZZ-1.0")), "licenses")
+    // value-level change under an IDENTICAL key set (the round-2 digest
+    // hashed inverted keys only and missed this)
+    val moved = base.inverted.updated("Stata", Array(1))
+    assert(f0 != fp(base.copy(inverted = moved)), "inverted source-id values")
+    assert(f0 != fp(base.copy(dbpediaLabel = base.dbpediaLabel - "STATA")), "label mapping")
+  }
+
   test("content hash is partition-layout independent") {
     val ck = new Checkpoints(spark, Files.createTempDirectory("graft-h").toString)
     val df = Transcripts.fixture(spark).toDF()

@@ -620,8 +620,11 @@ class TableIOSpec extends AnyFunSuite {
     assert(TableIO.readSnapshot(spark, base, 0).count() == 2)
     // partition directories exist (pruning-capable layout)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/snapshot=1/k=3")))
+    // a stray non-numeric snapshot=* entry must not wedge retention cleanup
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/snapshot=manualbackup"))
     TableIO.vacuum(base)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/snapshot=0")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/snapshot=manualbackup")))
     assert(TableIO.read(spark, base).count() == 1)
   }
 }
