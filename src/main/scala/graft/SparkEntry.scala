@@ -585,7 +585,7 @@ object SparkEntry {
           |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
           |  FROM documents),
           |fs AS (SELECT token, min(doc_id * 100000 + pos) AS fs FROM tok GROUP BY token)
-          |SELECT token, CAST(row_number() OVER (ORDER BY fs) AS INT) AS vid
+          |SELECT token, CAST(row_number() OVER (ORDER BY fs) AS BIGINT) AS vid
           |FROM fs ORDER BY vid""".stripMargin,
 
       "q_ner_mentions" ->

@@ -147,7 +147,6 @@ object Bio {
     val n = softwareTags.length
     require(mentionTypeTags.length == n && softTypeTags.length == n, "layer length mismatch")
     val out = Vector.newBuilder[String]
-    val curS = Vector.newBuilder[String]
     val curM = Vector.newBuilder[String]
     val curT = Vector.newBuilder[String]
     var curLen = 0
@@ -161,7 +160,7 @@ object Bio {
       out += s"B-$outType"
       var k = 1
       while (k < curLen) { out += s"I-$outType"; k += 1 }
-      curS.clear(); curM.clear(); curT.clear(); curLen = 0
+      curM.clear(); curT.clear(); curLen = 0
     }
 
     var i = 0
@@ -169,9 +168,9 @@ object Bio {
       val s = softwareTags(i)
       if (s == "B-Application") {
         flush()
-        curS += s; curM += mentionTypeTags(i); curT += softTypeTags(i); curLen += 1
+        curM += mentionTypeTags(i); curT += softTypeTags(i); curLen += 1
       } else if (s == "I-Application") {
-        curS += s; curM += mentionTypeTags(i); curT += softTypeTags(i); curLen += 1
+        curM += mentionTypeTags(i); curT += softTypeTags(i); curLen += 1
       } else {
         flush()
         out += s

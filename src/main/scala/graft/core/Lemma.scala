@@ -40,8 +40,20 @@ object Lemma {
       forms("run", "runs", "ran", "running") ++
       forms("compute", "computes", "computed", "computing") ++
       Seq("softwares" -> "software") ++
-      Headwords.flatMap(h => Seq(h -> h, (h + "s") -> h))).toMap - "analyses2"
+      Headwords.flatMap(h => Seq(h -> h, plural(h) -> h))).toMap - "analyses2"
   }
+
+  /** English regular pluralization for the headword table: the round-2
+    * naive "+s" generated non-words ("toolboxs", "registrys"), so the REAL
+    * plurals ("toolboxes", "registries") never lemmatized to their headword
+    * and the headword indicator silently missed on es/ies plurals.
+    */
+  private def plural(w: String): String =
+    if (w.endsWith("s") || w.endsWith("x") || w.endsWith("z") ||
+        w.endsWith("ch") || w.endsWith("sh")) w + "es"
+    else if (w.endsWith("y") && w.length > 1 && !"aeiou".contains(w.charAt(w.length - 2)))
+      w.dropRight(1) + "ies"
+    else w + "s"
 
   /** Lemma of a token: closed-table lookup on the lowercase form, identity
     * (lowercased) otherwise. Deterministic, total. Skips the lowercase COPY
@@ -57,7 +69,7 @@ object Lemma {
       else hasUpper = c.isUpper // non-ASCII uppercase
       i += 1
     }
-    val lower = if (hasUpper) token.toLowerCase else token
+    val lower = if (hasUpper) token.toLowerCase(java.util.Locale.ROOT) else token
     Table.getOrElse(lower, lower)
   }
 }

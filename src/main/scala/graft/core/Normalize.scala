@@ -47,7 +47,7 @@ object Normalize {
     * the result is empty.
     */
   def normalize(s: String): String = {
-    var t = NonAlnum.replaceAllIn(s.toLowerCase, " ")
+    var t = NonAlnum.replaceAllIn(s.toLowerCase(java.util.Locale.ROOT), " ")
     t = t.reverse.dropWhile(RstripChars.contains).reverse
     t = t.dropWhile(_ == ' ')
     val kept = t.split(' ').iterator.filter(w => w.nonEmpty && !Stopwords(w))
@@ -70,7 +70,7 @@ object Normalize {
     */
   def acronym(tokensIn: Seq[String]): Option[String] = {
     val tokens = tokensIn.iterator
-      .map(_.toLowerCase)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
       .map(x => NonAlnum.replaceAllIn(x, " "))
       .map(x => x.reverse.dropWhile(RstripChars.contains).reverse.dropWhile(_ == ' '))
       .filter(x => x.nonEmpty && !Stopwords(x))
@@ -81,7 +81,7 @@ object Normalize {
 
   /** F4 — casefolded containment (`RE/features.py:58-70`). */
   def isSubstring(e1: Option[String], e2: Option[String]): Boolean = (e1, e2) match {
-    case (Some(a), Some(b)) => b.toLowerCase.contains(a.toLowerCase)
+    case (Some(a), Some(b)) => b.toLowerCase(java.util.Locale.ROOT).contains(a.toLowerCase(java.util.Locale.ROOT))
     case _                  => false
   }
 

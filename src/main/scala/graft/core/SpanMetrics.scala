@@ -99,7 +99,11 @@ object SpanMetrics {
   def prfMicro(pred: DataFrame, gold: DataFrame, identityCols: Seq[String],
       labelCol: String = "label"): (Double, Double, Double) = {
     val per = prfByClass(pred, gold, identityCols, labelCol)
-      .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn")).collect()(0)
+      .agg(coalesce(sum("tp"), lit(0L)).as("tp"),
+        coalesce(sum("fp"), lit(0L)).as("fp"),
+        coalesce(sum("fn"), lit(0L)).as("fn")).collect()(0)
+    // coalesce: sum over ZERO classes (both sides empty) is null, and the
+    // zero_division→0 contract must hold there too, not NPE
     val tp = per.getLong(0).toDouble
     val fp = per.getLong(1).toDouble
     val fn = per.getLong(2).toDouble

@@ -70,7 +70,7 @@ object Tok {
       // split a trailing '.' off words, keep it inside numbers ("13.1." → "13.1 .")
       // and on known abbreviations ("Corp." stays whole — the developer rule
       // at candidate_rules.py:107-113 matches 'inc.'/'ltd.'/'corp.' tokens)
-      if (t.length > 1 && t.endsWith(".") && Abbrevs(t.dropRight(1).toLowerCase))
+      if (t.length > 1 && t.endsWith(".") && Abbrevs(t.dropRight(1).toLowerCase(java.util.Locale.ROOT)))
         Iterator(t)
       else if (t.length > 1 && t.endsWith(".") && !t.dropRight(1).forall(ch => ch.isDigit || ch == '.'))
         Iterator(t.dropRight(1), ".")

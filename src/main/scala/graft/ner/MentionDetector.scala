@@ -126,7 +126,7 @@ object MentionDetector {
       b > 0 && e < n && OpenBrackets(surfaces(b - 1)) && CloseBrackets(surfaces(e))
     def developerRule(b: Int, e: Int): Boolean =
       b > 0 && e < n && surfaces(b - 1) == "(" && surfaces(e) == ")" &&
-        surfaces.slice(b, e).exists(t => DeveloperMarkers(t.toLowerCase))
+        surfaces.slice(b, e).exists(t => DeveloperMarkers(t.toLowerCase(java.util.Locale.ROOT)))
 
     // --- W5 candidate enumeration + acceptance ------------------------------
     // 6n candidate spans; the gazetteer lookup prunes on the first token
@@ -201,7 +201,7 @@ object MentionDetector {
           p.endTok <= s.begTok - 1 && (p.endTok - p.begTok) > 1 && {
             val pToks = surfaces.slice(p.begTok, p.endTok)
             val pSurface = text.substring(begs(p.begTok), ends(p.endTok - 1))
-            Normalize.acronym(pToks).contains(t.toLowerCase) || d.altNames(pSurface).contains(t)
+            Normalize.acronym(pToks).contains(t.toLowerCase(java.util.Locale.ROOT)) || d.altNames(pSurface).contains(t)
           }
         }
       }
@@ -286,7 +286,7 @@ object MentionDetector {
       val t = surfaces(i)
       if (free(i) && t.length >= 2 && t.forall(c => c.isUpper || c.isDigit) && t.exists(_.isLetter)) {
         val isAbbr = softSurfaces.exists { case (spanToks, spanSurface) =>
-          Normalize.acronym(spanToks).contains(t.toLowerCase) ||
+          Normalize.acronym(spanToks).contains(t.toLowerCase(java.util.Locale.ROOT)) ||
             (d.altNames(spanSurface).contains(t) && spanSurface != t)
         }
         if (isAbbr) { claim(i, i + 1); attrs += spanOf(i, i + 1, "Abbreviation") }

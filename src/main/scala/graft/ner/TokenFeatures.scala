@@ -93,7 +93,7 @@ object TokenFeatures {
         fires(9) = spanCharLen != 1 && b >= 1 && e < n &&
           surfaces(b - 1) == "(" && surfaces(e) == ")" && {
             var i = b; var found = false
-            while (i < e && !found) { found = DevMarkers(surfaces(i).toLowerCase); i += 1 }
+            while (i < e && !found) { found = DevMarkers(surfaces(i).toLowerCase(java.util.Locale.ROOT)); i += 1 }
             found
           }
         // distant supervision: exact dictionary membership of the span

@@ -76,10 +76,15 @@ object Multimodal {
 
   /** Deterministic frame sampling plan for a "video" payload: every k-th
     * byte-block index — the plan (not pixels) is what schedulers shuffle.
+    * Empty payloads contribute ZERO frames (without the filter,
+    * sequence(0, floor(-1/k)) = sequence(0,-1) would DESCEND and emit two
+    * phantom blocks at offsets 0 and -k — empty docs are normal in real
+    * corpora, same defense as Dedup.shingles).
     */
   def frameSamplePlan(media: DataFrame, everyK: Int = 10): DataFrame =
-    media.select(col("doc_id"),
-      sequence(lit(0L), floor((length(col("payload")) - 1) / lit(everyK)).cast("long")).as("block_idx"))
+    media.filter(length(col("payload")) > 0)
+      .select(col("doc_id"),
+        sequence(lit(0L), floor((length(col("payload")) - 1) / lit(everyK)).cast("long")).as("block_idx"))
       .select(col("doc_id"), explode(col("block_idx")).as("frame_block"))
       .select(col("doc_id"), (col("frame_block") * everyK).as("byte_offset"))
 }

@@ -39,8 +39,11 @@ object Ranking {
     val offExpr = coalesce(
       element_at(typedLit(offsets), col("__pid")), lit(0L))
     val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    // LONG ids: the module's motivating size is a 10⁸+ vocabulary and the
+    // global rank exceeds Int.MaxValue past 2^31 rows — an int cast would
+    // fault under ANSI (or wrap silently without it)
     parted
-      .withColumn(idName, (row_number().over(w) + offExpr).cast("int"))
+      .withColumn(idName, row_number().over(w).cast("long") + offExpr)
       .drop("__pid")
   }
 }

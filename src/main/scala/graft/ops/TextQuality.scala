@@ -37,7 +37,6 @@ object TextQuality {
     * corpora (length/punct/stopword ratios). Deterministic arithmetic only.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val markers = EnglishMarkers.map(lit(_))
     val stopRatio = size(filter(toks, t => t.isin(EnglishMarkers: _*))).cast("double") / size(toks)
     val ttr = size(array_distinct(toks)).cast("double") / size(toks)
     val lenOk = when(size(toks).between(10, 1000), 1.0).otherwise(0.5)

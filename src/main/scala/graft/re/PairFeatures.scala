@@ -97,7 +97,12 @@ object PairFeatures {
     for (i <- sorted.indices; j <- sorted.indices if i != j) {
       val p0 = sorted(i); val p1 = sorted(j)
       val (smaller, larger) = if (p0.beg > p1.beg) (p1, p0) else (p0, p1)
-      val distanceString = t.text.substring(smaller.end, larger.beg)
+      // Python slice semantics (features.py uses sentence[end:beg]): nested/
+      // overlapping gold spans give end > beg, which slices to "" — a raw
+      // substring would throw and kill the task on such annotations
+      val lo = math.min(math.max(smaller.end, 0), t.text.length)
+      val hi = math.min(math.max(larger.beg, lo), t.text.length)
+      val distanceString = t.text.substring(lo, hi)
       val a0 = acr(p0); val a1 = acr(p1)
       val (e0t, m0t) = corrected(p0.typ)
       val (e1t, m1t) = corrected(p1.typ)

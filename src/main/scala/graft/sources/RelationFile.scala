@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.core.Relation
+import graft.core.{Mention, Relation, Turn}
 import org.apache.spark.sql.Dataset
 
 /** S5 — the reference's relation text format, both directions
@@ -40,21 +40,60 @@ object RelationFile {
       .mkString
 
   /** Round-trip helpers over the engine's Relation rows: entity index is
-    * positional within the turn (O4 order-by-beg), reconstructed on write
-    * and carried through on read.
+    * positional within the turn over ALL of the turn's entities (O4
+    * order-by-beg — the reference indexes the full sentence entity list,
+    * `RE_model.py:151-156`), reconstructed on write and carried through on
+    * read. `entityBegs` is that full list; when empty (no mention table
+    * available) it degrades to indexing over the relation-participating
+    * entities only — fine for round-trips of this writer's own output, but
+    * NOT byte-compatible with reference files for turns that contain
+    * relation-less entities.
     */
-  def toRecords(rels: Seq[Relation]): Seq[RelRecord] = {
-    val begs = rels.flatMap(r => Seq(r.subj_beg, r.obj_beg)).distinct.sorted
+  def toRecords(rels: Seq[Relation], entityBegs: Seq[Int] = Nil): Seq[RelRecord] = {
+    val begs =
+      if (entityBegs.nonEmpty) entityBegs.distinct.sorted
+      else rels.flatMap(r => Seq(r.subj_beg, r.obj_beg)).distinct.sorted
     val idx = begs.zipWithIndex.toMap
+    def at(b: Int): Int = idx.getOrElse(b,
+      throw new NoSuchElementException(s"relation entity at beg=$b not in the turn's entity list"))
     rels.map(r => RelRecord(r.pred,
-      r.subj_surface, r.subj_beg, idx(r.subj_beg),
-      r.obj_surface, r.obj_beg, idx(r.obj_beg)))
+      r.subj_surface, r.subj_beg, at(r.subj_beg),
+      r.obj_surface, r.obj_beg, at(r.obj_beg)))
   }
 
-  /** Distributed emit: one formatted line per turn (sorted within turn by
-    * subject then object begin — deterministic under any partitioning).
+  /** Distributed emit, full file contract: ONE line per TURN of `turns`
+    * (the reference's reader aligns lines to sentences POSITIONALLY, so a
+    * relation-less turn must emit an empty line — omitting it shifts every
+    * later sentence's relations onto the wrong sentence), entity indices
+    * over the turn's full mention list, records sorted by (subj, obj, pred)
+    * — deterministic under any partitioning.
     */
-  def lines(relations: Dataset[Relation]): Dataset[(String, Int, String)] = {
+  def lines(turns: Dataset[Turn], relations: Dataset[Relation],
+      mentions: Dataset[Mention]): Dataset[(String, Int, String)] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val relsByTurn = relations.groupByKey(r => (r.conv_id, r.turn_idx))
+      .mapGroups((k, it) => (k._1, k._2, it.toSeq))
+      .toDF("conv_id", "turn_idx", "rels")
+    val begsByTurn = mentions.groupByKey(m => (m.conv_id, m.turn_idx))
+      .mapGroups((k, it) => (k._1, k._2, it.map(_.beg).toSeq))
+      .toDF("conv_id", "turn_idx", "ent_begs")
+    turns.select($"conv_id", $"turn_idx")
+      .join(relsByTurn, Seq("conv_id", "turn_idx"), "left")
+      .join(begsByTurn, Seq("conv_id", "turn_idx"), "left")
+      .as[(String, Int, Seq[Relation], Seq[Int])]
+      .map { case (c, t, rels, begs) =>
+        val rs = Option(rels).getOrElse(Seq.empty)
+          .sortBy(r => (r.subj_beg, r.obj_beg, r.pred))
+        (c, t, formatLine(toRecords(rs, Option(begs).getOrElse(Seq.empty))))
+      }
+  }
+
+  /** Relations-only emit (no turn/mention tables): lines for turns that
+    * HAVE relations, indices over participating entities. Round-trips with
+    * [[parseLine]]; see [[lines]] for the positional file contract.
+    */
+  def linesFromRelations(relations: Dataset[Relation]): Dataset[(String, Int, String)] = {
     val spark = relations.sparkSession
     import spark.implicits._
     relations.groupByKey(r => (r.conv_id, r.turn_idx))

@@ -196,4 +196,10 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("byte_offset"))
     assert(p.sameElements(Array(0L, 5L, 10L)))
   }
+
+  test("frame sample plan: empty payload yields ZERO frames, not phantom offsets") {
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+    val p = Multimodal.frameSamplePlan(Multimodal.synthesizeBinary(empty), everyK = 5).collect()
+    assert(p.isEmpty, s"empty payload must emit no frame blocks, got ${p.mkString(",")}")
+  }
 }

@@ -78,6 +78,13 @@ class SpanMetricsSpec extends AnyFunSuite {
     assert(math.abs(p - 0.5) < 1e-9 && math.abs(r - 2.0 / 3) < 1e-9)
     assert(f > 0.5 && f < 0.6)
   }
+
+  test("prfMicro: both sides empty → (0,0,0), not NPE (zero_division contract)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Int, Int)].toDF("doc_id", "label", "beg", "end")
+    assert(SpanMetrics.prfMicro(empty, empty, Seq("doc_id", "beg", "end")) == ((0.0, 0.0, 0.0)))
+  }
 }
 
 class BratSpec extends AnyFunSuite {
@@ -277,12 +284,37 @@ class FormatRoundTripSpec extends AnyFunSuite {
     val rels = Seq(
       Relation("c1", 1, "Version_of", 40, "13.1", "Version", 34, "Stata", "Application_Usage"),
       Relation("c1", 1, "Citation_of", 54, "[30]", "Citation", 34, "Stata", "Application_Usage")).toDS()
-    val lines = RelationFile.lines(rels).collect()
+    val lines = RelationFile.linesFromRelations(rels).collect()
     assert(lines.length == 1)
     val parsed = RelationFile.parseLine(lines.head._3)
     assert(parsed.map(_.typ).toSet == Set("Version_of", "Citation_of"))
     // entity index is positional by begin offset (O4): Stata(34)→0, 13.1(40)→1, [30](54)→2
     assert(parsed.find(_.typ == "Version_of").get.ent2_n == 0)
+  }
+
+  test("S5: full file contract — one line per TURN, indices over ALL entities") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val turns = Seq(
+      Turn("c1", 0, "user", "no relations here", null, ts),
+      Turn("c1", 1, "user", "x", null, ts)).toDS()
+    // turn 1 has THREE entities (one relation-less at beg 10): the
+    // reference indexes over the full sentence entity list, so Stata(34)→1
+    // and 13.1(40)→2 — indexing only relation participants would give 0/1
+    val mentions = Seq(
+      Mention("c1", 1, "T1", "Application_Usage", 10, 15, "SPSS"),
+      Mention("c1", 1, "T2", "Application_Usage", 34, 39, "Stata"),
+      Mention("c1", 1, "T3", "Version", 40, 44, "13.1")).toDS()
+    val rels = Seq(
+      Relation("c1", 1, "Version_of", 40, "13.1", "Version", 34, "Stata", "Application_Usage")).toDS()
+    val byTurn = RelationFile.lines(turns, rels, mentions).collect()
+      .map(l => (l._1, l._2) -> l._3).toMap
+    assert(byTurn.size == 2)
+    assert(byTurn(("c1", 0)) == "", "relation-less turn must emit an EMPTY line (positional file)")
+    val parsed = RelationFile.parseLine(byTurn(("c1", 1)))
+    assert(parsed.head.ent1_n == 2 && parsed.head.ent2_n == 1,
+      s"indices must count the relation-less entity at beg 10: $parsed")
   }
 
   test("S7: linking JSON round-trips and re-keys like Linking.samples") {
@@ -725,6 +757,34 @@ class TokenFeaturesSpec extends AnyFunSuite {
   }
 }
 
+class LemmaSpec extends AnyFunSuite {
+  test("headword plurals lemmatize through real English inflection (es/ies)") {
+    import graft.core.Lemma
+    assert(Lemma.of("toolboxes") == "toolbox") // round-2 '+s' generated 'toolboxs' and missed this
+    assert(Lemma.of("registries") == "registry")
+    assert(Lemma.of("databases") == "database")
+    assert(Lemma.of("packages") == "package")
+    assert(Lemma.of("tools") == "tool")
+    assert(Lemma.of("softwares") == "software")
+    assert(Lemma.of("Using") == "use") // case-insensitive, locale-stable
+  }
+}
+
+class PairFeaturesOverlapSpec extends AnyFunSuite {
+  test("overlapping/nested gold spans slice to '' like Python, not crash") {
+    import graft.core.{Span, Turn}
+    val t = Turn("c", 0, "user", "IBM SPSS Statistics rocks", null,
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+    // nested: 'SPSS' inside 'IBM SPSS Statistics' → smaller.end > larger.beg
+    val spans = Vector(
+      Span("Application_Usage", 0, 19, "IBM SPSS Statistics"),
+      Span("Application_Usage", 4, 8, "SPSS"))
+    val rows = graft.re.PairFeatures.forTurn(t, spans, Nil)
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.entity_distance_abs == 0), "overlap distance must be 0 (empty slice)")
+  }
+}
+
 class RankingSpec extends AnyFunSuite {
   test("two-phase dense ids equal the single-task global window") {
     val spark = SparkTestSession.spark
@@ -733,8 +793,8 @@ class RankingSpec extends AnyFunSuite {
     val keys = rnd.shuffle((1 to 500).map(_.toLong * 7)).toSeq
     val df = keys.toDF("fs").repartition(13)
     val got = graft.ops.Ranking.denseIds(df, "fs", "vid")
-      .select("fs", "vid").as[(Long, Int)].collect().sortBy(_._2)
+      .select("fs", "vid").as[(Long, Long)].collect().sortBy(_._2)
     assert(got.map(_._1).toSeq == keys.sorted)
-    assert(got.map(_._2).toSeq == (1 to 500))
+    assert(got.map(_._2).toSeq == (1L to 500L))
   }
 }
