@@ -55,7 +55,11 @@ object Bench {
     */
   private def memBandwidth(threads: Int): Double = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-    val size = 64 * 1024 * 1024 / 8
+    // per-thread working set: 64 MB up to a 512 MB TOTAL budget — the
+    // documented SPARK_GRAFT_SCALE_HI override must not OOM the driver heap
+    // after the expensive measurements already ran (threads × arrays are
+    // live simultaneously by design; each still far exceeds LLC)
+    val size = math.min(64 * 1024 * 1024, 512 * 1024 * 1024 / math.max(threads, 1)) / 8
     val arrays = (0 until threads).map(_ => Array.fill[Long](size)(1L))
     val sink = new java.util.concurrent.atomic.AtomicLong
     val t0 = System.nanoTime()
@@ -219,8 +223,16 @@ object Bench {
     val normalized = efficiency / math.min(bwCeiling, 1.0)
 
     val total = queryTimes.map(_._2).sum + secHi
-    val qs = (queryTimes :+ ("kg_synthetic_3m_turns" -> secHi))
-      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    // Locale.ROOT number formatting: the f-interpolator uses the JVM default
+    // locale, and a comma-decimal default (de_DE etc.) would emit invalid
+    // JSON — losing the whole round's bench artifact at json.load time
+    // (same hostile-locale discipline as Normalize/Lemma)
+    def n(v: Double, pattern: String = "%.3f"): String =
+      String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+    val scaleLabel =
+      if (turns % 1000000 == 0) s"${turns / 1000000}m" else s"${turns / 1000}k"
+    val qs = (queryTimes :+ (s"kg_synthetic_${scaleLabel}_turns" -> secHi))
+      .map { case (k, v) => s""""$k":${n(v)}""" }.mkString("{", ",", "}")
     // the pre-registered acceptance gate (BASELINE.md "Scaling gate"),
     // evaluated MECHANICALLY so the artifact passes or fails on its own:
     // raw 2→8 efficiency ≥ 0.8, OR ≥ 0.8 of the same-run measured memory-
@@ -228,21 +240,21 @@ object Bench {
     val gatePass = efficiency >= 0.8 || normalized >= 0.8
     val scaling =
       s"""{"turns":$turns,"cores_hi":$scaleHi,"cores_lo":$scaleLo,""" +
-        s""""sec_hi":${f"$secHi%.3f"},"sec_lo":${f"$secLo%.3f"},""" +
-        s""""throughput_hi_turns_per_sec":${f"$tpHi%.1f"},""" +
-        s""""throughput_lo_turns_per_sec":${f"$tpLo%.1f"},""" +
-        s""""efficiency":${f"$efficiency%.3f"},""" +
-        s""""host_cpu_ceiling":{"raw_mulmod_ops_per_sec_lo":${f"$cpuLo%.3e"},""" +
-        s""""raw_mulmod_ops_per_sec_hi":${f"$cpuHi%.3e"},""" +
-        s""""raw_scaling_ratio":${f"$ceiling%.3f"}},""" +
-        s""""host_membw_ceiling":{"stream_gb_per_sec_lo":${f"$bwLo%.1f"},""" +
-        s""""stream_gb_per_sec_hi":${f"$bwHi%.1f"},""" +
-        s""""bw_scaling_ratio":${f"$bwCeiling%.3f"}},""" +
-        s""""efficiency_vs_host_membw_ceiling":${f"$normalized%.3f"},""" +
+        s""""sec_hi":${n(secHi)},"sec_lo":${n(secLo)},""" +
+        s""""throughput_hi_turns_per_sec":${n(tpHi, "%.1f")},""" +
+        s""""throughput_lo_turns_per_sec":${n(tpLo, "%.1f")},""" +
+        s""""efficiency":${n(efficiency)},""" +
+        s""""host_cpu_ceiling":{"raw_mulmod_ops_per_sec_lo":${n(cpuLo, "%.3e")},""" +
+        s""""raw_mulmod_ops_per_sec_hi":${n(cpuHi, "%.3e")},""" +
+        s""""raw_scaling_ratio":${n(ceiling)}},""" +
+        s""""host_membw_ceiling":{"stream_gb_per_sec_lo":${n(bwLo, "%.1f")},""" +
+        s""""stream_gb_per_sec_hi":${n(bwHi, "%.1f")},""" +
+        s""""bw_scaling_ratio":${n(bwCeiling)}},""" +
+        s""""efficiency_vs_host_membw_ceiling":${n(normalized)},""" +
         s""""gate":{"criterion":"efficiency>=0.8 OR efficiency_vs_host_membw_ceiling>=0.8",""" +
         s""""pass":$gatePass}}"""
-    val annRecallJson = if (annRecall >= 0) s""""ann_recall_at_5":${f"$annRecall%.4f"},""" else ""
+    val annRecallJson = if (annRecall >= 0) s""""ann_recall_at_5":${n(annRecall, "%.4f")},""" else ""
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$annRecallJson"sf":"$sfDir","scaling":$scaling}""")
+      s"""{"metric":"total","value":${n(total)},"unit":"sec","queries":$qs,$annRecallJson"sf":"$sfDir","scaling":$scaling}""")
   }
 }

@@ -63,7 +63,22 @@ object SparkEntry {
       |FROM documents""".stripMargin
 
   private val softwareList = Dicts.TestdataSoftware
-  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+  // '' -escaped: an apostrophe entry (natural in stopword lists) would
+  // otherwise be a syntax error in every oracle that interpolates a list
+  private def sqlList(xs: Seq[String]) =
+    xs.map(x => s"'${x.replace("'", "''")}'").mkString(", ")
+
+  /** `t2 AS (…), tok AS (…)` — the ONE copy of the augmented-transcript
+    * token CTE shared by every turns2-based oracle (the round-3 review
+    * found six drift-prone verbatim copies).
+    */
+  private val turns2TokensSql: String =
+    s"""t2 AS ($turns2Sql),
+       |tok AS (
+       |  SELECT t2.conv_id, t2.turn_idx, t2.text,
+       |         unnest(string_split(t2.text, ' ')) AS token,
+       |         CAST(generate_subscripts(string_split(t2.text, ' '), 1) - 1 AS INT) AS pos
+       |  FROM t2)""".stripMargin
 
   /** Token table of the PLAIN derived transcripts, as SQL (0-based pos). */
   private val tokensSql: String =
@@ -596,12 +611,7 @@ object SparkEntry {
            |FROM men ORDER BY conv_id, turn_idx, beg""".stripMargin,
 
       "q_re_relations" ->
-        s"""WITH t2 AS ($turns2Sql),
-           |tok AS (
-           |  SELECT t2.conv_id, t2.turn_idx, t2.text,
-           |         unnest(string_split(t2.text, ' ')) AS token,
-           |         CAST(generate_subscripts(string_split(t2.text, ' '), 1) - 1 AS INT) AS pos
-           |  FROM t2),
+        s"""WITH $turns2TokensSql,
            |men AS (
            |  SELECT conv_id, turn_idx, text, token, pos,
            |         CAST(CASE WHEN pos = 0 THEN 0
@@ -621,12 +631,7 @@ object SparkEntry {
            |ORDER BY t2.conv_id, t2.turn_idx, subj_beg, obj_beg""".stripMargin,
 
       "q_kg_triples" ->
-        s"""WITH t2 AS ($turns2Sql),
-           |tok AS (
-           |  SELECT t2.conv_id, t2.turn_idx, t2.text,
-           |         unnest(string_split(t2.text, ' ')) AS token,
-           |         CAST(generate_subscripts(string_split(t2.text, ' '), 1) - 1 AS INT) AS pos
-           |  FROM t2),
+        s"""WITH $turns2TokensSql,
            |men AS (
            |  SELECT conv_id, turn_idx, token, pos FROM tok
            |  WHERE token IN (${sqlList(softwareList)})),
@@ -649,12 +654,7 @@ object SparkEntry {
       // component relation ≡ grouping by lower(surface), and the canonical
       // representative is the minimum member surface.
       "q_kg_canonical" ->
-        s"""WITH t2 AS ($turns2Sql),
-           |tok AS (
-           |  SELECT t2.conv_id, t2.turn_idx, t2.text,
-           |         unnest(string_split(t2.text, ' ')) AS token,
-           |         CAST(generate_subscripts(string_split(t2.text, ' '), 1) - 1 AS INT) AS pos
-           |  FROM t2),
+        s"""WITH $turns2TokensSql,
            |men AS (
            |  SELECT conv_id, turn_idx, token, pos FROM tok
            |  WHERE token IN (${sqlList(softwareList)})),
@@ -788,12 +788,7 @@ object SparkEntry {
       // None and the acronym flags are false — asserted here, pinned with
       // multi-token cases in PairFeaturesSpec.
       "q_f18_pair_features" ->
-        s"""WITH t2 AS ($turns2Sql),
-           |tok AS (
-           |  SELECT t2.conv_id, t2.turn_idx, t2.text,
-           |         unnest(string_split(t2.text, ' ')) AS token,
-           |         CAST(generate_subscripts(string_split(t2.text, ' '), 1) - 1 AS INT) AS pos
-           |  FROM t2),
+        s"""WITH $turns2TokensSql,
            |soft AS (
            |  SELECT conv_id, turn_idx, text, token AS surface,
            |         CAST(CASE WHEN pos = 0 THEN 0
@@ -848,10 +843,7 @@ object SparkEntry {
       // J8 cross-set compare: the scorer links exactly the lower-equal
       // surface pairs at distance 0 on this corpus (see q_kg_canonical).
       "q_j8_compare" ->
-        s"""WITH t2 AS ($turns2Sql),
-           |tok AS (
-           |  SELECT t2.turn_idx, unnest(string_split(t2.text, ' ')) AS token
-           |  FROM t2),
+        s"""WITH $turns2TokensSql,
            |n AS (SELECT DISTINCT token AS m FROM tok
            |      WHERE turn_idx < 5 AND token IN (${sqlList(softwareList)})),
            |o AS (SELECT DISTINCT token AS m FROM tok
@@ -865,11 +857,7 @@ object SparkEntry {
       // every threshold ≥ 0 the predicted linkage equals the gold
       // (lower-surface) linkage; counts derive from the group sizes.
       "q_g5_sweep" ->
-        s"""WITH t2 AS ($turns2Sql),
-           |tok AS (
-           |  SELECT t2.conv_id, t2.turn_idx,
-           |         unnest(string_split(t2.text, ' ')) AS token
-           |  FROM t2),
+        s"""WITH $turns2TokensSql,
            |surf AS (SELECT DISTINCT token AS mention FROM tok
            |         WHERE token IN (${sqlList(softwareList)})),
            |grp AS (SELECT lower(mention) AS lm, count(*) AS k FROM surf GROUP BY 1),
@@ -886,11 +874,7 @@ object SparkEntry {
       // the case-variant ("spark","Spark") at distance 0 — the grouping is
       // exactly lower(surface), canonical = min member surface.
       "q_g3_hac" ->
-        s"""WITH t2 AS ($turns2Sql),
-           |tok AS (
-           |  SELECT t2.conv_id, t2.turn_idx,
-           |         unnest(string_split(t2.text, ' ')) AS token
-           |  FROM t2),
+        s"""WITH $turns2TokensSql,
            |surf AS (SELECT DISTINCT token AS mention FROM tok
            |         WHERE token IN (${sqlList(softwareList)}))
            |SELECT mention, min(mention) OVER (PARTITION BY lower(mention)) AS canon
@@ -960,12 +944,7 @@ object SparkEntry {
           |FROM f2 GROUP BY token ORDER BY class""".stripMargin,
 
       "q_p6_remap" ->
-        s"""WITH t2 AS ($turns2Sql),
-           |tok AS (
-           |  SELECT t2.conv_id, t2.turn_idx, t2.text,
-           |         unnest(string_split(t2.text, ' ')) AS token,
-           |         CAST(generate_subscripts(string_split(t2.text, ' '), 1) - 1 AS INT) AS pos
-           |  FROM t2),
+        s"""WITH $turns2TokensSql,
            |soft AS (
            |  SELECT conv_id, turn_idx,
            |         CAST(CASE WHEN pos = 0 THEN 0

@@ -76,7 +76,7 @@ object Transcripts {
 
   /** Derivation from the driver testdata `documents` table — defined so the
     * byte-identical table is constructible in DuckDB SQL (see
-    * [[graft.SparkEntry.transcriptsSql]]). 10 turns per conversation.
+    * [[Transcripts.fromDocumentsSql]]). 10 turns per conversation.
     */
   def fromDocuments(spark: SparkSession, sfDir: String): Dataset[Turn] = {
     import spark.implicits._
