@@ -757,6 +757,28 @@ class TokenFeaturesSpec extends AnyFunSuite {
   }
 }
 
+class LocaleDeterminismSpec extends AnyFunSuite {
+  test("detection and features are identical under a Turkish default locale (dotless-i hazard)") {
+    val d = Dicts.fixture
+    val text = "All analyses were performed using Stata ( StataCorp Inc. ) ."
+    val prev = java.util.Locale.getDefault
+    val tr = java.util.Locale.forLanguageTag("tr-TR")
+    try {
+      java.util.Locale.setDefault(java.util.Locale.US)
+      val spansUs = MentionDetector.detect(text, d)
+      val featsUs = graft.ner.TokenFeatures.forTurn("c", 0, text, d)
+      java.util.Locale.setDefault(tr)
+      // the hazard is real on this JVM: default-locale lowering of I is dotless
+      assert("Inc.".toLowerCase != "inc.", "tr locale must produce dotless i")
+      assert(graft.core.Lemma.of("Using") == "use")
+      assert(MentionDetector.detect(text, d) == spansUs,
+        "mention detection must not depend on the JVM default locale")
+      assert(graft.ner.TokenFeatures.forTurn("c", 0, text, d) == featsUs,
+        "token features (incl. the developer-marker rule) must not depend on the JVM default locale")
+    } finally java.util.Locale.setDefault(prev)
+  }
+}
+
 class LemmaSpec extends AnyFunSuite {
   test("headword plurals lemmatize through real English inflection (es/ies)") {
     import graft.core.Lemma
