@@ -21,6 +21,28 @@ class EdEvalSpec extends AnyFunSuite {
     assert(m.getAs[Long]("tp") == 1L && m.getAs[Long]("tn") == 2L)
   }
 
+  test("pairMetrics contingency formulation equals naive pair enumeration (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30
+      val comp = (0 until n).map(i => i.toLong -> rnd.nextInt(5).toLong)
+      val gold = (0 until n).map(i => i.toLong -> rnd.nextInt(4).toLong)
+      val m = EdEval.pairMetrics(comp.toDF("id", "component"),
+        gold.toDF("sample_id", "gold_id")).collect()(0)
+      val cm = comp.toMap
+      val gm = gold.toMap
+      var tp = 0L; var fp = 0L; var fn = 0L; var tn = 0L
+      for (i <- 0 until n; j <- i + 1 until n) {
+        val pred = cm(i.toLong) == cm(j.toLong)
+        val g = gm(i.toLong) == gm(j.toLong)
+        if (pred && g) tp += 1 else if (pred) fp += 1 else if (g) fn += 1 else tn += 1
+      }
+      assert((m.getAs[Long]("tp"), m.getAs[Long]("fp"), m.getAs[Long]("fn"), m.getAs[Long]("tn"))
+        == ((tp, fp, fn, tn)), s"trial $trial")
+    }
+  }
+
   test("threshold sweep: recall grows with threshold") {
     import spark.implicits._
     val samples = spark.createDataset(Seq(
