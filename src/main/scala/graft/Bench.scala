@@ -114,6 +114,11 @@ object Bench {
     val turns = Transcripts.synthetic(spark, nConvs, turnsPerConv)
     val r = Pipeline.run(spark, turns, Dicts.fixture)
     r.triples.count()
+    // release the pipeline's intermediate caches: each rep otherwise leaves
+    // dead MEMORY_AND_DISK blocks until LRU eviction — harmless when the
+    // session stops right after, wrong as example code for long-lived
+    // sessions (VERDICT r03 hygiene)
+    r.unpersist()
     nConvs.toLong * turnsPerConv
   }
 

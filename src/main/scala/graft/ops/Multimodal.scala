@@ -8,13 +8,20 @@ import org.apache.spark.sql.functions._
   * resize / frame-sample run as partition-batched functions over the binary
   * column.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernel is a clearly-marked deterministic STUB (`fakeDecode`) — it
-  * parses "pixels" from the byte stream by arithmetic. Everything around it
-  * is real and tested: the schema contract, the batch shape (mapPartitions
-  * over iterators, never row-at-a-time JNI), partitioning (binary payloads
-  * never shuffle — metadata-only projections are pushed before any join),
-  * and the sink layout.
+  * Two decode kernels behind the same batch contract:
+  *  - [[decodeImage]] — a REAL image decode via `javax.imageio` (pure-JVM
+  *    PNG/BMP/GIF readers ship with the JDK; no native codecs needed),
+  *    oracle-verified end-to-end on deterministically synthesized PNGs
+  *    (`q_mm_decode_png`: the DuckDB oracle recomputes each image's pixel
+  *    sum from the generator formula, so equality holds only if the PNG
+  *    bytes actually round-trip through a real codec).
+  *  - [[fakeDecode]] — the clearly-marked deterministic STUB for codec
+  *    families that need native libraries (video/audio): it parses
+  *    "pixels" from the byte stream by arithmetic. The contract around
+  *    both is identical and real: the schema, the batch shape
+  *    (mapPartitions over iterators, never row-at-a-time JNI), partitioning
+  *    (binary payloads never shuffle — metadata-only projections are
+  *    pushed before any join), and the sink layout.
   */
 object Multimodal {
 
@@ -72,6 +79,93 @@ object Multimodal {
     Decoded(id,
       MediaMeta(payload.length % 640 + 1, payload.length % 480 + 1, 3, "fake/raw"),
       mean, payload.length.toLong)
+  }
+
+  // --- real image decode (javax.imageio — pure JVM, PNG/BMP/GIF) -----------
+
+  /** Deterministic synthetic image dimensions for doc `id` (shared by the
+    * generator, the tests and the SQL oracle).
+    */
+  private[graft] def pngDims(id: Long): (Int, Int) =
+    (((id % 16) + 1).toInt, ((id % 12) + 1).toInt)
+
+  /** Deterministic grayscale test image for doc `id`: sample(x,y) =
+    * (id·31 + x·7 + y·13) mod 256 — closed-form, so a SQL oracle can
+    * recompute the decoded pixel sum without any codec.
+    */
+  private[graft] def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize a real PNG payload column (deterministic per doc_id). */
+  def synthesizePng(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp-file cache
+        it.map(id => (id, encodePng(id)))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL decode kernel: `javax.imageio` (PNG/BMP/GIF readers are pure-JVM
+    * and ship with the JDK). Luma = integer-quantized mean of band-0 raster
+    * samples — floor(sum·10⁴ / pixels) / 10⁴, same exact-rational
+    * discipline as [[fakeDecode]] so any engine reproduces it. Throws on an
+    * undecodable payload (a silent fake value defeats the point of a real
+    * codec path); route genuinely opaque media through [[fakeDecode]].
+    */
+  def decodeImage(id: Long, payload: Array[Byte]): Decoded = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $id: payload is not a decodable image")
+    val raster = img.getRaster
+    val w = raster.getWidth
+    val h = raster.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    val pixels = w.toLong * h
+    val mean = if (pixels == 0) 0.0 else (sum * 10000L / pixels).toDouble / 10000.0
+    Decoded(id, MediaMeta(w, h, raster.getNumBands, formatOf(payload)), mean, payload.length.toLong)
+  }
+
+  /** Container format from magic bytes (header parse — never a full decode). */
+  private[graft] def formatOf(payload: Array[Byte]): String =
+    if (payload.length >= 4 && (payload(0) & 0xFF) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
+    else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') "bmp"
+    else if (payload.length >= 3 && payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F') "gif"
+    else "unknown"
+
+  /** Partition-batched REAL decode — same iterator contract as
+    * [[decodeFeatures]], kernel swapped for the actual codec.
+    */
+  def decodeImageFeatures(media: DataFrame): Dataset[Decoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition, not per row
+        it.map { case (id, payload) => decodeImage(id, payload) }
+      }
   }
 
   /** Deterministic frame sampling plan for a "video" payload: every k-th

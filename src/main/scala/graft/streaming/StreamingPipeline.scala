@@ -36,20 +36,44 @@ object StreamingPipeline {
     * in the state store keyed by surface
     * — one row per DISTINCT surface, not per occurrence; a hot key folds
     * its occurrences within each micro-batch before touching the store.
+    *
+    * State-size contract (ADVICE r03): with `idleTimeout = None` the store
+    * holds one row per distinct surface EVER seen — bounded only by the
+    * gazetteer+rule surface space, which for this detector is
+    * dictionary-sized (detection emits known surfaces and capped candidate
+    * spans), not stream-sized; that cardinality bound is the API contract
+    * of the default. For open-ended deployments pass an idle TTL (e.g.
+    * `Some("2 hours")`): a surface unseen for that long is evicted
+    * (ProcessingTimeTimeout) and restarts from zero if it reappears —
+    * counts become "totals since last activity gap", the standard trade.
     */
-  def runningMentionCounts(turns: Dataset[Turn], d: Dicts): Dataset[(String, Long, Long)] = {
+  def runningMentionCounts(turns: Dataset[Turn], d: Dicts,
+      idleTimeout: Option[String] = None): Dataset[(String, Long, Long)] = {
     val spark = turns.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     mentions(turns, d)
       .groupByKey(_.surface)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState(timeoutConf) {
         (surface: String, occs: Iterator[Mention], state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
-          val batchN = occs.size.toLong
-          val (prevTotal, prevBatches) = state.getOption.getOrElse((0L, 0L))
-          val next = (prevTotal + batchN, prevBatches + 1)
-          state.update(next)
-          (surface, next._1, next._2)
+          if (state.hasTimedOut) {
+            // idle eviction: drop the state row; emit a tombstone with the
+            // last known totals (batches = 0 marks it — downstream may
+            // filter). The key's next appearance restarts from zero.
+            val (total, _) = state.getOption.getOrElse((0L, 0L))
+            state.remove()
+            (surface, total, 0L)
+          } else {
+            val batchN = occs.size.toLong
+            val (prevTotal, prevBatches) = state.getOption.getOrElse((0L, 0L))
+            val next = (prevTotal + batchN, prevBatches + 1)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            (surface, next._1, next._2)
+          }
       }
   }
 
@@ -234,6 +258,23 @@ object StreamingPipeline {
       if (newEdgesP != null) newEdgesP.unpersist()
       if (allSamplesP != null) allSamplesP.unpersist()
     }
+  }
+
+  /** Triples of COMMITTED batches only. The commit protocol writes a
+    * batch's `outDir/batch_id=N/` partition BEFORE the state snapshot that
+    * advances the watermark (step 2 before step 3 in [[processBatch]]), so
+    * a raw reader of `outDir` between those steps — or after a crash if the
+    * stream never restarts — observes uncommitted output (ADVICE r03). This
+    * is the read-committed view: partition-prune to
+    * `batch_id <= committed watermark`; an in-flight or orphaned batch
+    * directory is invisible until its commit lands (or forever, if it never
+    * does — a replay overwrites it in place).
+    */
+  def committedTriples(spark: SparkSession, stateDir: String, outDir: String): DataFrame = {
+    val watermark = TableIO.marker(s"$stateDir/state", "batch_id")
+      .flatMap(_.toLongOption)
+      .getOrElse(sys.error(s"no committed batch under $stateDir — nothing to read"))
+    spark.read.parquet(outDir).filter(col("batch_id") <= watermark)
   }
 
   /** Drive a bounded source through the streaming mention path into an
