@@ -514,6 +514,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // embedding-cosine near-dup — the fifth dedup family: LSH-bucketed
+    // pair generation + exact cosine ≥ threshold. The synthetic embeddings
+    // are quasi-orthogonal (max pairwise cosine ≈ 0.49), so the demo
+    // threshold sits at that scale; the operator itself takes any threshold
+    "q_ann_cosine_dupes" -> ((s, dir) =>
+      SimilaritySearch.cosineDupes(embeddings(s, dir), threshold = 0.35)
+        .orderBy("src", "dst")),
+
     // --- text analysis -------------------------------------------------------------
     "q_textq_stats" -> ((s, dir) => TextQuality.tokenStats(docs(s, dir)).orderBy("doc_id")),
     "q_textq_quality" -> ((s, dir) => TextQuality.qualityScore(docs(s, dir)).orderBy("doc_id")),
@@ -539,6 +547,14 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.channels").as("channels"), col("meta.format").as("format"),
           col("luma_mean"))
+        .orderBy("doc_id")),
+
+    // REAL resize kernel over real decoded pixels: nearest-neighbor 4×3
+    // downsample; the oracle recomputes the sampled source indices + pixel
+    // values from the generator's closed form
+    "q_mm_resize" -> ((s, dir) =>
+      Multimodal.resizeFeatures(Multimodal.synthesizePng(docs(s, dir)), outW = 4, outH = 3)
+        .select(col("doc_id"), col("out_w"), col("out_h"), col("luma_mean"))
         .orderBy("doc_id")),
 
     // --- event-stream semantics (batch-equivalent; streaming parity in tests) --------
@@ -1176,6 +1192,44 @@ object SparkEntry {
            |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin,
 
+      // embedding-cosine near-dup: the SAME integer-projection signatures
+      // and banding as q_ann_lsh (no multi-probe — corpus-side self-join),
+      // then exact cosine >= 0.35 inside buckets
+      "q_ann_cosine_dupes" ->
+        s"""WITH comp AS (
+           |  SELECT pp.p, ii.i,
+           |         ${graft.core.Hash61.sql("CAST(pp.p AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR)")} % 2147483648 - 1073741824 AS c
+           |  FROM range(16) pp(p), range(64) ii(i)),
+           |dims AS (
+           |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+           |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i
+           |  FROM embeddings),
+           |proj AS (
+           |  SELECT d.vec_id, c.p, sum(CAST(floor(d.v * c.c) AS BIGINT)) AS s
+           |  FROM dims d JOIN comp c ON d.i = c.i GROUP BY 1, 2),
+           |sig AS (
+           |  SELECT vec_id,
+           |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+           |  FROM proj GROUP BY vec_id),
+           |bb AS (SELECT s.vec_id, b.b AS band, (sig >> CAST(b.b * 4 AS INT)) & 15 AS bh
+           |       FROM sig s, range(4) b(b)),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+           |  FROM bb a JOIN bb b ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id),
+           |pairs AS (
+           |  SELECT src, dst, ae.embedding AS ea, be.embedding AS eb
+           |  FROM cand JOIN embeddings ae ON ae.vec_id = src
+           |            JOIN embeddings be ON be.vec_id = dst),
+           |dots AS (
+           |  SELECT src, dst,
+           |         sum(CAST(ea[i.x + 1] AS DOUBLE) * CAST(eb[i.x + 1] AS DOUBLE)) AS dot,
+           |         sum(CAST(ea[i.x + 1] AS DOUBLE) * CAST(ea[i.x + 1] AS DOUBLE)) AS aa,
+           |         sum(CAST(eb[i.x + 1] AS DOUBLE) * CAST(eb[i.x + 1] AS DOUBLE)) AS bb2
+           |  FROM pairs, range(64) i(x) GROUP BY src, dst),
+           |sims AS (SELECT src, dst, round(dot / (sqrt(aa) * sqrt(bb2)), 6) AS sim FROM dots)
+           |SELECT src, dst, sim FROM sims WHERE sim >= 0.35
+           |ORDER BY src, dst""".stripMargin,
+
       "q_ann_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
           |pairs AS (SELECT query_id, e.vec_id AS neighbor_id, qe, e.embedding AS ce
@@ -1274,6 +1328,26 @@ object SparkEntry {
           |  GROUP BY 1, 2, 3)
           |SELECT doc_id, width, height, 1 AS channels, 'png' AS format,
           |       CAST((total * 10000) // (width * height) AS DOUBLE) / 10000.0 AS luma_mean
+          |FROM s ORDER BY doc_id""".stripMargin,
+
+      // nearest-neighbor 4×3 resize of the synthesized PNGs: sampled source
+      // index (x·w)//4, (y·h)//3; pixel from the generator formula
+      "q_mm_resize" ->
+        """WITH px AS (
+          |  SELECT doc_id,
+          |         CAST(doc_id % 16 + 1 AS INT) AS width,
+          |         CAST(doc_id % 12 + 1 AS INT) AS height
+          |  FROM documents),
+          |s AS (
+          |  SELECT p.doc_id,
+          |         sum((p.doc_id * 31 + ((x.x * p.width) // 4) * 7
+          |              + ((y.y * p.height) // 3) * 13) % 256) AS total
+          |  FROM px p
+          |  JOIN generate_series(0, 3) x(x) ON true
+          |  JOIN generate_series(0, 2) y(y) ON true
+          |  GROUP BY 1)
+          |SELECT doc_id, 4 AS out_w, 3 AS out_h,
+          |       CAST((total * 10000) // 12 AS DOUBLE) / 10000.0 AS luma_mean
           |FROM s ORDER BY doc_id""".stripMargin,
 
       "q_mm_meta" ->

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   *      chains halve, so convergence is O(log n) rounds, not O(diameter)
   *   3. edges are remapped to (comp(src), comp(dst)), self-loops dropped —
   *      the working graph contracts toward empty, so later rounds are cheap
-  *   4. every round's outputs are localCheckpoint'ed: the logical plan stays
-  *      flat instead of growing with the iteration count (lineage blowup is
-  *      the classic failure of iterative DataFrame jobs — SURVEY §7.4.4)
+  *   4. every round's outputs are checkpointed ([[graft.io.Reliably]]):
+  *      the logical plan stays flat instead of growing with the iteration
+  *      count (lineage blowup is the classic failure of iterative DataFrame
+  *      jobs — SURVEY §7.4.4). With a configured checkpoint dir the rounds
+  *      use reliable `checkpoint()` (executor-loss-safe — the cluster
+  *      setting); otherwise executor-local blocks (single-JVM, zero I/O)
   *
   * Termination: the contracted edge set is empty ⇔ every component has
   * collapsed onto its minimum id.
@@ -68,13 +71,13 @@ object ConnectedComponents {
         .select($"id", coalesce($"comp", $"id").as("component"))
     }
 
-    var labels = vertices.toDF("id").withColumn("component", $"id").localCheckpoint(true)
+    var labels = vertices.toDF("id").withColumn("component", $"id").transform(graft.io.Reliably.checkpoint)
 
     var g = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.io.Reliably.checkpoint)
 
     var iter = 0
     while (iter < maxIter && !g.isEmpty) {
@@ -89,7 +92,7 @@ object ConnectedComponents {
       val byId = l1.select($"id".as("pid"), $"component".as("pcomp"))
       val l2 = l1.join(byId, l1("component") === byId("pid"), "left")
         .select(l1("id"), least(l1("component"), coalesce($"pcomp", l1("component"))).as("component"))
-        .localCheckpoint(true)
+        .transform(graft.io.Reliably.checkpoint)
 
       // (3) contract the graph onto current component ids
       val m = l2.select($"id", $"component")
@@ -100,7 +103,7 @@ object ConnectedComponents {
         .filter($"src" =!= $"dst")
       // g was symmetric and contraction maps both directions, so g1 is
       // still symmetric — dedup is enough
-      g = g1.distinct().localCheckpoint(true)
+      g = g1.distinct().transform(graft.io.Reliably.checkpoint)
 
       labels = l2
       iter += 1

@@ -238,10 +238,10 @@ object Dedup {
   /** Reliable `checkpoint()` when the session has a checkpoint dir (cluster
     * deployments — survives executor loss), `localCheckpoint()` otherwise
     * (single-JVM bench; see fault-tolerance note on [[minhashDupes]]).
+    * Shared policy: [[graft.io.Reliably]] (same switch in the CC rounds).
     */
   private def stableCheckpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    graft.io.Reliably.checkpoint(df)
 
   /** True n-gram Jaccard for given candidate (src,dst) pairs. */
   def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {

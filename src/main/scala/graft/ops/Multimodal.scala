@@ -168,6 +168,55 @@ object Multimodal {
       }
   }
 
+  /** REAL resize kernel: nearest-neighbor downsample of a decoded image to
+    * `outW`×`outH` — out(x,y) = src(⌊x·w/outW⌋, ⌊y·h/outH⌋), integer index
+    * math, so the result is exactly reproducible from the source pixels (a
+    * box/area filter would be float-order-dependent). Works for any source
+    * size (smaller sources duplicate pixels). Returns the resized band-0
+    * sample grid row-major.
+    */
+  private[graft] def resizeNearest(raster: java.awt.image.Raster,
+      outW: Int, outH: Int): Array[Int] = {
+    val w = raster.getWidth
+    val h = raster.getHeight
+    val out = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        out(y * outW + x) = raster.getSample((x.toLong * w / outW).toInt, sy, 0)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Partition-batched decode + nearest-neighbor resize + feature extract:
+    * (doc_id, out_w, out_h, luma_mean of the RESIZED image, n_bytes).
+    * Same integer quantization as the decode kernels.
+    */
+  def resizeFeatures(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val px = resizeNearest(img.getRaster, outW, outH)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          val mean = (sum * 10000L / px.length).toDouble / 10000.0
+          (id, outW, outH, mean, payload.length.toLong)
+        }
+      }.toDF("doc_id", "out_w", "out_h", "luma_mean", "n_bytes")
+  }
+
   /** Deterministic frame sampling plan for a "video" payload: every k-th
     * byte-block index — the plan (not pixels) is what schedulers shuffle.
     * Empty payloads contribute ZERO frames (without the filter,

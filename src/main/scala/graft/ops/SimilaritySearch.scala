@@ -119,6 +119,41 @@ object SimilaritySearch {
     sims.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate PAIRS — the fifth dedup family
+    * (exact / MinHash / SimHash / n-gram Jaccard / embedding-cosine): all
+    * (src, dst) pairs sharing an LSH band bucket whose exact cosine ≥
+    * `threshold`. Same integer-projection signatures as [[lshTopK]], so a
+    * SQL oracle reproduces the candidate generation bit-for-bit and holds
+    * the output exactly (`q_ann_cosine_dupes`); the scale shape is the
+    * corpus-side story of [[lshTopK]] — banded self-join with capped
+    * buckets, exact cosine only inside buckets, no all-pairs anything.
+    * Recall follows the banding probability ((1−p_band)^nBands miss rate);
+    * tune nPlanes/nBands exactly as the EXPLAIN.md table prescribes.
+    */
+  def cosineDupes(embeddings: DataFrame, threshold: Double,
+      nPlanes: Int = 16, nBands: Int = 4, maxBucket: Int = 4096): DataFrame = {
+    require(nPlanes % nBands == 0)
+    val bandBits = nPlanes / nBands
+    val mask = (1L << bandBits) - 1
+    val banded = signatures(embeddings, nPlanes).select(col("vec_id"), col("embedding"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bh"))): _*)).as("x"))
+      .select(col("vec_id"), col("embedding"), col("x.band"), col("x.bh"))
+    val w = Window.partitionBy(col("band"), col("bh")).orderBy(col("vec_id"))
+    val capped = banded
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= maxBucket).drop("rk")
+    val a = capped.select(col("vec_id").as("src"), col("embedding").as("ea"),
+      col("band"), col("bh"))
+    val b = capped.select(col("vec_id").as("dst"), col("embedding").as("eb"),
+      col("band"), col("bh"))
+    val cand = a.join(b, Seq("band", "bh")).filter(col("src") < col("dst"))
+      .select("src", "dst", "ea", "eb")
+      .dropDuplicates("src", "dst")
+    cand.select(col("src"), col("dst"), round(cosine(col("ea"), col("eb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Measured recall@k of an approximate top-k result against the exact
     * one: the fraction of true (query_id, neighbor_id) top-k pairs present
     * in the approximate list. Both inputs are [[lshTopK]]/[[bruteForceTopK]]

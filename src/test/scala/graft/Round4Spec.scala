@@ -225,6 +225,47 @@ class Round4OpsSpec extends AnyFunSuite {
       Multimodal.decodeImage(1L, "not an image".getBytes))
   }
 
+  test("nearest-neighbor resize samples the exact source pixels (incl. upscale duplication)") {
+    import graft.ops.Multimodal
+    // ids cover w>4 (downsample), w=1 (pixel duplication) and mixed
+    for (id <- Seq(7L, 16L, 0L, 133L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodePng(id)))
+      val (w, h) = Multimodal.pngDims(id)
+      val got = Multimodal.resizeNearest(img.getRaster, 4, 3)
+      val want = for { y <- 0 until 3; x <- 0 until 4 } yield {
+        val sx = x * w / 4
+        val sy = y * h / 3
+        ((id * 31 + sx * 7 + sy * 13) % 256).toInt
+      }
+      assert(got.toSeq == want, s"doc $id ($w x $h)")
+    }
+  }
+
+  test("distributed CC rounds under a reliable checkpoint dir yield identical components") {
+    import spark.implicits._
+    // force the distributed loop (driverCutoff = 0) over a chain + ring +
+    // isolated vertex; rerun with a checkpoint dir configured — the rounds
+    // switch to reliable checkpoint() (Reliably.checkpoint) with identical
+    // results
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .map { case (s_, d_) => graft.core.Edge(s_, d_, 0.0) }.toDS()
+    val vertices = (1L to 12L).map(java.lang.Long.valueOf).toDS()
+    def components(): Map[Long, Long] =
+      graft.ed.ConnectedComponents.run(vertices, edges, driverCutoff = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = components()
+    val ckDir = Files.createTempDirectory("graft-cc-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      val reliable = components()
+      assert(reliable == local)
+      assert(reliable(3L) == 1L && reliable(12L) == 10L && reliable(7L) == 7L)
+      assert(Files.list(java.nio.file.Paths.get(ckDir)).count() > 0,
+        "CC rounds must have written reliable checkpoints under the configured dir")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("minhashDupes under a reliable checkpoint dir yields the same verified pairs") {
     import spark.implicits._
     val docs = Seq(
