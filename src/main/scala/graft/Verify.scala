@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the KG queries persist pipeline intermediates for their own
+      // multi-consumer plans; once a query's result is on disk those blocks
+      // are dead weight — release them instead of letting 48 queries'
+      // caches pile up into LRU churn at larger SFs (VERDICT r03 hygiene)
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -58,6 +58,13 @@ object ConnectedComponents {
     if (ownPersist) edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgePairs = edges.select($"src", $"dst").as[(Long, Long)]
     val nEdges = edgePairs.count() // materializes the persist
+    if (nEdges == 0) {
+      // no edges ⇒ every vertex is its own component — skip the (empty)
+      // incident join entirely; corpora whose variants all collapse in the
+      // exact-surface pre-cluster hit this constantly
+      if (ownPersist) edges.unpersist()
+      return vertices.toDF("id").withColumn("component", $"id")
+    }
     if (nEdges <= driverCutoff) {
       // Driver fast path: collect only EDGE-INCIDENT vertices (≤ 2·nEdges
       // ids). The vertex set itself is unbounded (every unique surface at

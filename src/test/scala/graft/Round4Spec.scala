@@ -190,7 +190,8 @@ class Round4OpsSpec extends AnyFunSuite {
       "",                          // empty text → single empty-token shingle
       "double  space   runs here", // consecutive spaces → empty tokens kept
       "x y z x y z x y z",
-      "tail space ")               // trailing empty token kept by split(-1)
+      "tail space ",               // trailing empty token kept by split(-1)
+      "ünïcode tökens ❄ mit 🎈 emoji bytes") // multi-byte UTF-8 through the byte-hash path
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     for (k <- Seq(2, 3); (nh, nb) <- Seq((8, 4), (16, 16))) {
       val declarative = graft.ops.Dedup.minhashBands(
