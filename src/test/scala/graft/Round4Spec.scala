@@ -209,6 +209,24 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused shingleSets equals the declarative shingle table, grouped and sorted") {
+    import spark.implicits._
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "one", "", "double  space   runs here",
+      "x y z x y z x y z", "tail space ",
+      "ünïcode tökens ❄ mit 🎈 emoji bytes")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (k <- Seq(2, 3)) {
+      val declarative = graft.ops.Dedup.shingles(docs, k)
+        .collect().groupBy(_.getLong(0))
+        .map { case (id, rows) => id -> rows.map(_.getLong(1)).sorted.toSeq }
+      val fused = graft.ops.Dedup.shingleSets(docs, k)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fused == declarative, s"k=$k")
+    }
+  }
+
   test("real PNG decode recovers the generator's exact pixel statistics") {
     import graft.ops.Multimodal
     for (id <- Seq(0L, 1L, 17L, 255L, 4096L, 99999L)) {
