@@ -339,11 +339,54 @@ object Dedup {
     */
   val SimhashBits = 60
 
+  /** 60-bit SimHash computed in ONE `mapPartitions` pass over doc rows —
+    * same fused-kernel shape as [[minhashBandSignatures]]: tokenize, hash
+    * each token with the SAME portable [[graft.core.Hash61]] the
+    * declarative build and the DuckDB oracle use, fold the 60 ±1 bit sums
+    * in a reused int array, emit one (doc_id, simhash) row. Bit-identical
+    * to [[simhash]] (parity-asserted in Round4OpsSpec); no token explode,
+    * no 60-column aggregation shuffle — only the final 16-byte rows move.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val sums = new Array[Int](SimhashBits)
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty // matches catalyst: null text → no rows
+          else {
+            java.util.Arrays.fill(sums, 0)
+            val toks = text.split(" ", -1) // = catalyst split semantics
+            var t = 0
+            while (t < toks.length) {
+              val h = graft.core.Hash61.hash(toks(t))
+              var i = 0
+              while (i < SimhashBits) {
+                if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+                i += 1
+              }
+              t += 1
+            }
+            var sig = 0L
+            var i = 0
+            while (i < SimhashBits) {
+              if (sums(i) > 0) sig |= (1L << i)
+              i += 1
+            }
+            Iterator.single((id, sig))
+          }
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
   /** 60-bit SimHash over token hashes: bit i of the signature is the sign of
     * the sum over token occurrences of (bit i of hash61(token) ? +1 : −1).
     * Tokens hash with the portable [[graft.core.Hash61]] (native codegen'd
     * expression) — NOT xxhash64 — so the DuckDB oracle recomputes the exact
-    * signatures (round-1 this row was `no_oracle`).
+    * signatures (round-1 this row was `no_oracle`). Declarative twin of the
+    * hot-path [[simhashSignatures]] kernel (kept for semantics pinning and
+    * SQL-shaped callers).
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
@@ -374,7 +417,7 @@ object Dedup {
       s"maxHamming+1 must divide $SimhashBits (maxHamming ∈ 1..5); got $maxHamming")
     val width = SimhashBits / nSlices
     val mask = (1L << width) - 1
-    val sliced = simhash(docs).select(col("doc_id"), col("simhash"),
+    val sliced = simhashSignatures(docs).select(col("doc_id"), col("simhash"),
       explode(array((0 until nSlices).map(q =>
         struct(lit(q).as("q"),
           shiftright(col("simhash"), q * width).bitwiseAND(mask).as("qh"))): _*)).as("x"))

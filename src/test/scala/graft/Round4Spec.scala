@@ -227,6 +227,22 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused simhash kernel is bit-identical to the declarative 60-column build") {
+    import spark.implicits._
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "one", "", "double  space   runs here",
+      "x y z x y z x y z", "tail space ",
+      "ünïcode tökens ❄ mit 🎈 emoji bytes",
+      "the same boilerplate text repeated across documents")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val declarative = graft.ops.Dedup.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = graft.ops.Dedup.simhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == declarative)
+  }
+
   test("real PNG decode recovers the generator's exact pixel statistics") {
     import graft.ops.Multimodal
     for (id <- Seq(0L, 1L, 17L, 255L, 4096L, 99999L)) {
