@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** One policy for plan-truncating checkpoints (ADVICE r03): `localCheckpoint`
   * stores blocks on EXECUTORS, so losing one (failure, dynamic-allocation
@@ -11,9 +12,22 @@ import org.apache.spark.sql.DataFrame
   * store on a cluster), the SAME call sites switch to reliable
   * `checkpoint()` automatically; with no dir they keep the zero-I/O local
   * form. Both are EAGER: callers rely on materialize-now semantics.
+  *
+  * The reliable path persists BEFORE checkpointing and unpersists after:
+  * Spark's reliable checkpoint materializes with one job and then writes
+  * the checkpoint files with a SECOND job, which recomputes the whole plan
+  * from scratch unless the RDD is cached (round-4 review) — persist makes
+  * the write job read blocks instead. Checkpoint files accumulate for the
+  * life of the application unless `spark.cleaner.referenceTracking
+  * .cleanCheckpoints=true` is set (recommended for long iterative runs —
+  * a 35-round CC loop otherwise leaves every round's files on the store).
   */
 object Reliably {
   def checkpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint(eager = true)
+      cached.unpersist()
+      out
+    } else df.localCheckpoint(eager = true)
 }

@@ -73,6 +73,35 @@ object SimilaritySearch {
     embeddings.select(col("vec_id"), col("embedding"), sigBits.as("sig"))
   }
 
+  /** Signature band rows (id, emb, band, bh) — THE banding layout, shared
+    * by [[lshTopK]] (both sides) and [[cosineDupes]] so the two families
+    * (and their SQL oracles, which reproduce this layout) can never
+    * desynchronize. `bandBits = nPlanes / nBands`; band b's hash is bits
+    * [b·bandBits, (b+1)·bandBits) of the signature.
+    */
+  private def banded(df: DataFrame, idCol: String, embCol: String,
+      nPlanes: Int, nBands: Int): DataFrame = {
+    val bandBits = nPlanes / nBands
+    val mask = (1L << bandBits) - 1
+    signatures(df, nPlanes).select(col("vec_id").as(idCol), col("embedding").as(embCol),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bh"))): _*)).as("x"))
+      .select(col(idCol), col(embCol), col("x.band").as("band"), col("x.bh").as("bh"))
+  }
+
+  /** [[banded]] with the corpus-side bucket cap: deterministic rank by id
+    * inside each (band, bh) bucket, keep the first `maxBucket`
+    * (Blocking.maxBlockSize pattern — one degenerate bucket must not go
+    * quadratic).
+    */
+  private def cappedBanded(df: DataFrame, idCol: String, embCol: String,
+      nPlanes: Int, nBands: Int, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("bh")).orderBy(col(idCol))
+    banded(df, idCol, embCol, nPlanes, nBands)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= maxBucket).drop("rk")
+  }
+
   /** LSH ANN: candidates share a signature band (nBands × bandBits prefix
     * split), re-ranked by exact cosine within buckets. Recall < 1 by design;
     * at 100 TB this is the path — tune nPlanes/nBands/multiProbe for recall
@@ -93,22 +122,13 @@ object SimilaritySearch {
       multiProbe: Boolean = true): DataFrame = {
     require(nPlanes % nBands == 0)
     val bandBits = nPlanes / nBands
-    val mask = (1L << bandBits) - 1
-    def banded(df: DataFrame, idCol: String, embCol: String) =
-      signatures(df, nPlanes).select(col("vec_id").as(idCol), col("embedding").as(embCol),
-          explode(array((0 until nBands).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bh"))): _*)).as("x"))
-        .select(col(idCol), col(embCol), col("x.band"), col("x.bh"))
-    val q0 = banded(queries, "query_id", "qe")
+    val q0 = banded(queries, "query_id", "qe", nPlanes, nBands)
     val q =
       if (!multiProbe) q0
       else q0.select(col("query_id"), col("qe"), col("band"),
         explode(array(col("bh") +: (0 until bandBits).map(i =>
           col("bh").bitwiseXOR(lit(1L << i))): _*)).as("bh"))
-    val w = Window.partitionBy(col("band"), col("bh")).orderBy(col("neighbor_id"))
-    val c = banded(embeddings, "neighbor_id", "ce")
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= maxBucket).drop("rk")
+    val c = cappedBanded(embeddings, "neighbor_id", "ce", nPlanes, nBands, maxBucket)
     val cand = q.join(c, Seq("band", "bh"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "qe", "ce")
@@ -133,16 +153,7 @@ object SimilaritySearch {
   def cosineDupes(embeddings: DataFrame, threshold: Double,
       nPlanes: Int = 16, nBands: Int = 4, maxBucket: Int = 4096): DataFrame = {
     require(nPlanes % nBands == 0)
-    val bandBits = nPlanes / nBands
-    val mask = (1L << bandBits) - 1
-    val banded = signatures(embeddings, nPlanes).select(col("vec_id"), col("embedding"),
-        explode(array((0 until nBands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bh"))): _*)).as("x"))
-      .select(col("vec_id"), col("embedding"), col("x.band"), col("x.bh"))
-    val w = Window.partitionBy(col("band"), col("bh")).orderBy(col("vec_id"))
-    val capped = banded
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= maxBucket).drop("rk")
+    val capped = cappedBanded(embeddings, "vec_id", "embedding", nPlanes, nBands, maxBucket)
     val a = capped.select(col("vec_id").as("src"), col("embedding").as("ea"),
       col("band"), col("bh"))
     val b = capped.select(col("vec_id").as("dst"), col("embedding").as("eb"),

@@ -68,6 +68,13 @@ class HadoopFsManifestSpec extends AnyFunSuite {
     assert(first.nonEmpty)
     assert(Files.exists(tmp.resolve("detected_lineage.json")), "lineage lands under the URI's path")
 
+    // fresh-session shape: drop THIS baseDir's bucketed-stage catalog
+    // entries (prefix = per-baseDir hash — other suites' checkpoints may be
+    // in flight concurrently) so the resume must RE-REGISTER them from
+    // lineage with the file:// LOCATION
+    val prefix = "graft_ck_" + java.lang.Long.toHexString(graft.core.Hash61.hash(base))
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix)).foreach(t => spark.sql(s"DROP TABLE $t"))
     val ck = new Checkpoints(spark, base)
     val second = Checkpoints.runPipelineWith(ck, spark, turns, Dicts.fixture)
       .collect().map(_.toString).toSet
@@ -144,8 +151,11 @@ class BucketedPipelineSpec extends AnyFunSuite {
       .collect().map(_.toString).toSet
     assert(first.nonEmpty)
 
+    // per-baseDir prefix: other suites' bucketed checkpoints may be live
+    // concurrently in the shared session — never touch theirs
+    val prefix = "graft_ck_" + java.lang.Long.toHexString(graft.core.Hash61.hash(base))
     def ckTables() = spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("graft_ck_")).toSeq
+      .map(_.name).filter(_.startsWith(prefix)).toSeq
     val tables = ckTables()
     assert(tables.exists(_.endsWith("_samples")) && tables.exists(_.endsWith("_components")),
       s"bucketed stages must register catalog tables, got $tables")
@@ -179,6 +189,18 @@ class BucketedPipelineSpec extends AnyFunSuite {
 }
 
 class Round4OpsSpec extends AnyFunSuite {
+  /** True iff a reliable checkpoint was actually WRITTEN under `dir`.
+    * `setCheckpointDir` eagerly creates a UUID subdirectory, so "dir is
+    * non-empty" is vacuously true the moment the dir is configured — the
+    * evidence is the `rdd-*` checkpoint data directories inside it.
+    */
+  private def hasRddCheckpoint(dir: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try w.iterator().asScala.exists(_.getFileName.toString.startsWith("rdd-"))
+    finally w.close()
+  }
+
   private lazy val spark = SparkTestSession.spark
 
   test("fused minhash kernel is bit-identical to the declarative band build") {
@@ -296,8 +318,8 @@ class Round4OpsSpec extends AnyFunSuite {
       val reliable = components()
       assert(reliable == local)
       assert(reliable(3L) == 1L && reliable(12L) == 10L && reliable(7L) == 7L)
-      assert(Files.list(java.nio.file.Paths.get(ckDir)).count() > 0,
-        "CC rounds must have written reliable checkpoints under the configured dir")
+      assert(hasRddCheckpoint(ckDir),
+        "CC rounds must have written rdd-* reliable checkpoints under the configured dir")
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
@@ -316,8 +338,8 @@ class Round4OpsSpec extends AnyFunSuite {
       val reliable = graft.ops.Dedup.minhashDupes(docs, k = 3, numHashes = 32, bands = 32,
         threshold = 0.5).select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(reliable == local && reliable == Set((1L, 2L)))
-      assert(Files.list(java.nio.file.Paths.get(ckDir)).count() > 0,
-        "reliable checkpoint must actually write under the configured dir")
+      assert(hasRddCheckpoint(ckDir),
+        "reliable checkpoint must actually write rdd-* data under the configured dir")
     } finally {
       // restore the default localCheckpoint path for the other suites
       spark.sparkContext.setCheckpointDir(null)
