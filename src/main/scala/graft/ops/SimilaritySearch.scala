@@ -165,6 +165,33 @@ object SimilaritySearch {
       .filter(col("sim") >= threshold)
   }
 
+  /** EXACT all-pairs cosine near-dup set: every (src < dst) pair with
+    * cosine ≥ threshold — the ground truth [[cosineDupes]] is measured
+    * against ([[pairRecall]], committed per bench run as
+    * `cosine_dupes_recall`). Brute force by construction (n²/2 cosines):
+    * a measurement instrument for test scales, not a pipeline operator.
+    */
+  def exactCosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("src"), col("embedding").as("ea"))
+    val b = embeddings.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+    a.join(b, col("src") < col("dst"))
+      .select(col("src"), col("dst"), round(cosine(col("ea"), col("eb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Fraction of exact (src, dst) pairs present in the approximate set —
+    * the pair-set analogue of [[recallAtK]] (precision of [[cosineDupes]]
+    * is 1.0 by construction: every emitted pair passed the exact cosine).
+    */
+  def pairRecall(approx: DataFrame, exact: DataFrame): Double = {
+    val total = exact.count()
+    if (total == 0) return 1.0
+    val hits = exact.select(col("src"), col("dst"))
+      .join(approx.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
+      .count()
+    hits.toDouble / total
+  }
+
   /** Measured recall@k of an approximate top-k result against the exact
     * one: the fraction of true (query_id, neighbor_id) top-k pairs present
     * in the approximate list. Both inputs are [[lshTopK]]/[[bruteForceTopK]]

@@ -323,6 +323,27 @@ class Round4OpsSpec extends AnyFunSuite {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("cosineDupes finds genuinely near-duplicate embeddings (recall 1.0 at high cosine)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 40 random base vectors, each with a near-duplicate (tiny perturbation
+    // → cosine ≈ 1, where banding recall is ≈ 1 by the formula), plus the
+    // mutually quasi-orthogonal bases as distractors
+    val bases = (0 until 40).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val rows = bases.flatMap { case (i, v) =>
+      val dup = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong, v), (100L + i, dup))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = graft.ops.SimilaritySearch.exactCosinePairs(emb, 0.9)
+    assert(exact.count() == 40, "each base pairs only with its perturbation at cosine 0.9")
+    val approx = graft.ops.SimilaritySearch.cosineDupes(emb, 0.9)
+    val recall = graft.ops.SimilaritySearch.pairRecall(approx, exact)
+    assert(recall == 1.0, s"banding must not lose near-identical pairs (recall $recall)")
+    // precision 1.0 by construction: every emitted pair passed exact cosine
+    assert(approx.join(exact, Seq("src", "dst"), "left_anti").count() == 0)
+  }
+
   test("minhashDupes under a reliable checkpoint dir yields the same verified pairs") {
     import spark.implicits._
     val docs = Seq(
