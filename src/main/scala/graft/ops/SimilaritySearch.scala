@@ -183,13 +183,21 @@ object SimilaritySearch {
     * the pair-set analogue of [[recallAtK]] (precision of [[cosineDupes]]
     * is 1.0 by construction: every emitted pair passed the exact cosine).
     */
-  def pairRecall(approx: DataFrame, exact: DataFrame): Double = {
-    val total = exact.count()
-    if (total == 0) return 1.0
-    val hits = exact.select(col("src"), col("dst"))
-      .join(approx.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
-      .count()
-    hits.toDouble / total
+  def pairRecall(approx: DataFrame, exact: DataFrame): Double =
+    setRecall(approx, exact, Seq("src", "dst"))
+
+  /** Shared recall kernel: ONE pass over `exact` (total and hits from the
+    * same left-join aggregation — a count + semi-join would evaluate the
+    * exact side twice, which matters when it is the O(n²) brute-force set).
+    */
+  private def setRecall(approx: DataFrame, exact: DataFrame, keys: Seq[String]): Double = {
+    val keyCols = keys.map(col)
+    val row = exact.select(keyCols: _*)
+      .join(approx.select(keyCols: _*).dropDuplicates(keys).withColumn("__hit", lit(1)),
+        keys, "left")
+      .agg(count(lit(1)).as("total"), count(col("__hit")).as("hits"))
+      .head()
+    if (row.getLong(0) == 0) 1.0 else row.getLong(1).toDouble / row.getLong(0)
   }
 
   /** Measured recall@k of an approximate top-k result against the exact
@@ -200,13 +208,6 @@ object SimilaritySearch {
     * (VERDICT r02 "What's missing" #1); the explicit measurement is
     * asserted against a floor in tests and reported in the bench artifact.
     */
-  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
-    val total = exact.count()
-    if (total == 0) return 1.0
-    val hits = exact.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi")
-      .count()
-    hits.toDouble / total
-  }
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double =
+    setRecall(approx, exact, Seq("query_id", "neighbor_id"))
 }
