@@ -532,6 +532,17 @@ object SparkEntry {
     // --- multimodal plumbing ---------------------------------------------------------
     "q_mm_meta" -> ((s, dir) =>
       Multimodal.meta(Multimodal.synthesizeBinary(docs(s, dir))).orderBy("doc_id")),
+
+    // REAL header-parse path (VERDICT r04 #1): dimensions/channels/format
+    // read from the PNG IHDR bytes of synthesized real PNGs; the oracle
+    // recomputes them from the generator formula, so this row is green only
+    // if the engine actually parses container headers (n_bytes is the
+    // encoder's output size — not oracle-computable — so it is projected
+    // away here and stays covered by q_mm_meta)
+    "q_mm_meta_png" -> ((s, dir) =>
+      Multimodal.meta(Multimodal.synthesizePng(docs(s, dir)))
+        .select(col("doc_id"), col("width"), col("height"), col("channels"), col("format"))
+        .orderBy("doc_id")),
     "q_mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.synthesizeBinary(docs(s, dir))).toDF()
         .select(col("doc_id"), col("meta.width").as("width"), col("meta.height").as("height"),
@@ -1397,6 +1408,16 @@ object SparkEntry {
           |SELECT doc_id, 4 AS out_w, 3 AS out_h,
           |       CAST((total * 10000) // 12 AS DOUBLE) / 10000.0 AS luma_mean
           |FROM s ORDER BY doc_id""".stripMargin,
+
+      // header-parse oracle: the synthesized PNGs are grayscale (color type
+      // 0 → 1 channel) with dims from pngDims' closed form — DuckDB
+      // recomputes all four metadata columns without touching a byte of PNG
+      "q_mm_meta_png" ->
+        """SELECT doc_id,
+          |       CAST(doc_id % 16 + 1 AS INT) AS width,
+          |       CAST(doc_id % 12 + 1 AS INT) AS height,
+          |       1 AS channels, 'png' AS format
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_mm_meta" ->
         """SELECT doc_id,

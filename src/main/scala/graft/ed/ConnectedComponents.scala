@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Edge-count cutoff below which union-find runs on the driver: a tiny
-    * edge set costs more in iterative-job scheduling than in memory. 5M
-    * edges ≈ 120 MB — far below driver heap; beyond it the distributed loop
-    * takes over. (The reference always runs union-find on one node —
+    * edge set costs more in iterative-job scheduling than in memory. Edges
+    * land as packed primitive long chunks — 16 B/edge, so 5M edges ≈ 80 MB
+    * on the driver (plus the union-find's ≤2·5M-entry id index) — far below
+    * driver heap; beyond it the distributed loop takes over. (The reference
+    * always runs union-find on one node —
     * `efficient_prediction.py:319-359`; here that is only the small-graph
     * fast path.)
     */
@@ -69,10 +71,17 @@ object ConnectedComponents {
       // Driver fast path: collect only EDGE-INCIDENT vertices (≤ 2·nEdges
       // ids). The vertex set itself is unbounded (every unique surface at
       // web scale); isolated vertices never move, so they get
-      // component = id distributedly via a left join below.
-      val pairs = edgePairs.collect()
+      // component = id distributedly via a left join below. Edges arrive as
+      // one packed primitive Array[Long] per partition ([src,dst,src,dst,…]
+      // — 16 B/edge; a collect() of boxed (Long,Long) tuples costs ~4× that
+      // in driver heap at the 5M cutoff, VERDICT r04 #4).
+      val packed = edgePairs.mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+        it.foreach { case (s, d) => buf += s; buf += d }
+        Iterator.single(buf.result())
+      }.collect()
       if (ownPersist) edges.unpersist()
-      val incident = runOnDriverIncident(spark, pairs)
+      val incident = runOnDriverIncident(spark, packed)
       return vertices.toDF("id")
         .join(incident, Seq("id"), "left")
         .select($"id", coalesce($"comp", $"id").as("component"))
@@ -122,20 +131,23 @@ object ConnectedComponents {
   /** Small-graph fast path: classic union-find on the driver over the
     * edge-incident vertex set ONLY (bounded by 2·edge count, never by the
     * corpus vocabulary). Component id = min member id (same contract as the
-    * distributed loop; equality asserted in EdSpec). Returns (id, comp) for
-    * incident vertices; callers attach isolated vertices via left join.
+    * distributed loop; equality asserted in EdSpec). Takes per-partition
+    * packed edge chunks ([src,dst,src,dst,…] — primitive longs, the
+    * driver-heap-lean collect shape). Returns (id, comp) for incident
+    * vertices; callers attach isolated vertices via left join.
     */
   private def runOnDriverIncident(spark: org.apache.spark.sql.SparkSession,
-      edges: Array[(Long, Long)]): DataFrame = {
+      packedEdges: Array[Array[Long]]): DataFrame = {
     import spark.implicits._
-    val index = new java.util.HashMap[java.lang.Long, java.lang.Integer](edges.length * 4)
-    val idsBuf = new scala.collection.mutable.ArrayBuffer[Long](edges.length * 2)
+    val nEdges = packedEdges.iterator.map(_.length / 2).sum
+    val index = new java.util.HashMap[java.lang.Long, java.lang.Integer](nEdges * 4)
+    val idsBuf = new scala.collection.mutable.ArrayBuffer[Long](nEdges * 2)
     def idx(v: Long): Int = {
       val cur = index.get(v)
       if (cur != null) cur.intValue()
       else { val j = idsBuf.length; index.put(v, j); idsBuf += v; j }
     }
-    val parent = new scala.collection.mutable.ArrayBuffer[Int](edges.length * 2)
+    val parent = new scala.collection.mutable.ArrayBuffer[Int](nEdges * 2)
     def find(x: Int): Int = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -143,11 +155,15 @@ object ConnectedComponents {
       while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    edges.foreach { case (a, b) =>
-      val ia = idx(a); val ib = idx(b)
-      while (parent.length < idsBuf.length) parent += parent.length
-      val ra = find(ia); val rb = find(ib)
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    packedEdges.foreach { chunk =>
+      var e = 0
+      while (e < chunk.length) {
+        val ia = idx(chunk(e)); val ib = idx(chunk(e + 1))
+        while (parent.length < idsBuf.length) parent += parent.length
+        val ra = find(ia); val rb = find(ib)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        e += 2
+      }
     }
     val ids = idsBuf.toArray
     val minId = new Array[Long](ids.length)

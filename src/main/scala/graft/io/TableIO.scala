@@ -140,15 +140,24 @@ object TableIO {
     val dir = new Path(base)
     val fs = fsOf(dir)
     fs.mkdirs(dir)
-    val tmp = new Path(base, s"_current.tmp-${java.util.UUID.randomUUID()}")
-    writeFile(tmp, next.toString)
     val cur = currentPath(base)
-    fs.delete(cur, false)
-    if (!fs.rename(tmp, cur)) {
-      // rename refused (concurrent writer raced the delete): last writer
-      // wins via plain overwrite — readers recover via scanCommitted anyway
-      writeFile(cur, next.toString)
-      fs.delete(tmp, false)
+    // Retry the temp-write + delete + rename sequence (fresh UUID temp each
+    // attempt) rather than ever writing `_current` in place: an in-place
+    // create is non-atomic, so a racing reader could observe a truncated /
+    // empty pointer (ADVICE r04). Rename only fails here when a concurrent
+    // flipper recreated `_current` between our delete and rename — i.e.
+    // someone else just installed a pointer — so a bounded retry converges;
+    // if contention persists we leave THEIR pointer standing (last writer
+    // wins either way, and readers recover via the `_committed` probe/scan).
+    var attempt = 0
+    var done = false
+    while (!done && attempt < 3) {
+      attempt += 1
+      val tmp = new Path(base, s"_current.tmp-${java.util.UUID.randomUUID()}")
+      writeFile(tmp, next.toString)
+      fs.delete(cur, false)
+      done = fs.rename(tmp, cur)
+      if (!done) fs.delete(tmp, false)
     }
   }
 

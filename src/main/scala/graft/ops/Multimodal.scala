@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
@@ -34,20 +34,78 @@ object Multimodal {
   def synthesizeBinary(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
-  /** Metadata-only projection — at scale this is the column you join/filter
-    * on; the binary column is pruned away by Catalyst (verify with
-    * `.explain`: ReadSchema must not contain `payload` when only meta is
-    * selected downstream).
+  // --- container-header field extraction (pure Column expressions) ---------
+  // Codegen'd builtins (substring/hex/conv) — no UDF in the metadata path,
+  // so the projection stays inside WholeStageCodegen and reads only the
+  // header prefix of each payload.
+
+  /** Unsigned byte at 1-indexed `pos1`. */
+  private def u8(c: Column, pos1: Int): Column =
+    conv(hex(substring(c, pos1, 1)), 16, 10).cast("int")
+
+  /** Big-endian u32 at `pos1` (PNG is network byte order). */
+  private def beU32(c: Column, pos1: Int): Column =
+    conv(hex(substring(c, pos1, 4)), 16, 10).cast("long")
+
+  /** Little-endian u16 at `pos1` (GIF logical-screen fields). */
+  private def leU16(c: Column, pos1: Int): Column =
+    u8(c, pos1 + 1) * 256 + u8(c, pos1)
+
+  /** Little-endian SIGNED i32 at `pos1` (BMP dimensions; a negative height
+    * means top-down row order — magnitude is the pixel height).
     */
-  def meta(media: DataFrame): DataFrame =
+  private def leI32(c: Column, pos1: Int): Column = {
+    val u = u8(c, pos1 + 3).cast("long") * 16777216L +
+      u8(c, pos1 + 2).cast("long") * 65536L +
+      u8(c, pos1 + 1).cast("long") * 256L + u8(c, pos1).cast("long")
+    when(u >= 2147483648L, u - 4294967296L).otherwise(u)
+  }
+
+  /** Metadata-only projection — at scale this is THE column set a media
+    * pipeline joins/filters on before ever touching pixels. Dimensions /
+    * channels / format are read from the REAL container headers (a header
+    * parse, never a decode):
+    *  - PNG — IHDR width/height (big-endian u32 at bytes 16/20) and the
+    *    color-type byte (25) → channel count (0 gray=1, 2 rgb=3,
+    *    3 palette=1, 4 gray+alpha=2, 6 rgba=4);
+    *  - BMP — signed little-endian i32 width/height at bytes 18/22
+    *    (|height|: negative = top-down) and bits-per-pixel at 28 →
+    *    channels = max(bpp/8, 1) (1/4/8 bpp are palette/gray → 1);
+    *  - GIF — logical-screen u16 LE width/height at bytes 6/8; pixels are
+    *    palette indices → 1 channel.
+    * Unrecognized payloads (the opaque-media stand-in) keep the clearly
+    * stubbed arithmetic dimensions + "fake/raw" tag. Everything is
+    * `substring`/`hex`/`conv` over the header prefix; Catalyst prunes the
+    * payload column away downstream of this select (verify with
+    * `.explain`: ReadSchema must not contain `payload` when only meta
+    * columns are consumed).
+    */
+  def meta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val n = length(p)
+    // magic + minimum bytes for the fields we read (hex() is uppercase)
+    val isPng = (n >= 26) && (hex(substring(p, 1, 4)) === "89504E47")
+    val isBmp = (n >= 30) && (hex(substring(p, 1, 2)) === "424D")
+    val isGif = (n >= 10) && (hex(substring(p, 1, 3)) === "474946")
+    val pngChannels = {
+      val colorType = u8(p, 26)
+      when(colorType === 2, 3).when(colorType === 4, 2)
+        .when(colorType === 6, 4).otherwise(1)
+    }
+    val bmpChannels = greatest(leU16(p, 29) / 8, lit(1)).cast("int")
     media.select(col("doc_id"),
-      length(col("payload")).as("n_bytes"),
-      // STUB dimensions: derived arithmetically from the payload length the
-      // way a header parse would; replace with a real codec header read.
-      (length(col("payload")) % 640 + 1).as("width"),
-      (length(col("payload")) % 480 + 1).as("height"),
-      lit(3).as("channels"),
-      lit("fake/raw").as("format"))
+      n.as("n_bytes"),
+      when(isPng, beU32(p, 17)).when(isBmp, abs(leI32(p, 19)))
+        .when(isGif, leU16(p, 7))
+        .otherwise(n % 640 + 1).cast("int").as("width"),
+      when(isPng, beU32(p, 21)).when(isBmp, abs(leI32(p, 23)))
+        .when(isGif, leU16(p, 9))
+        .otherwise(n % 480 + 1).cast("int").as("height"),
+      when(isPng, pngChannels).when(isBmp, bmpChannels).when(isGif, 1)
+        .otherwise(3).cast("int").as("channels"),
+      when(isPng, "png").when(isBmp, "bmp").when(isGif, "gif")
+        .otherwise("fake/raw").as("format"))
+  }
 
   /** Partition-batched decode + feature extraction. The per-batch shape is
     * the real contract (iterator in, iterator out, codec context reused per

@@ -165,6 +165,42 @@ object SimilaritySearch {
       .filter(col("sim") >= threshold)
   }
 
+  /** Deterministic constructed near-duplicates — the measurement corpus for
+    * [[cosineDupes]] recall in the regime the operator exists for (genuine
+    * near-dups, cos ≳ 0.9; the synthetic corpus itself is quasi-orthogonal,
+    * so at realistic thresholds it has almost no true pairs to recall).
+    * Each source vector gets one perturbed copy v' = v + ε·‖v‖·û with û a
+    * seeded-per-id Gaussian direction and ε ∈ [noiseLo, noiseHi], giving
+    * cos(v, v') ≈ 1/√(1+ε²) — defaults span ≈ [0.93, 0.99]. Copies take
+    * vec_id + idOffset (disjoint from any corpus id). Fully deterministic
+    * (per-id seeds), so recall numbers are reproducible run to run.
+    */
+  def withNearDuplicates(embeddings: DataFrame, noiseLo: Double = 0.15,
+      noiseHi: Double = 0.38, idOffset: Long = 1L << 40): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val src = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val dupes = src.mapPartitions(_.map { case (id, v) =>
+      val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 0x5DEECE66DL)
+      val eps = noiseLo + (noiseHi - noiseLo) * rnd.nextDouble()
+      var norm2 = 0.0
+      var i = 0
+      while (i < v.length) { norm2 += v(i).toDouble * v(i); i += 1 }
+      val norm = math.sqrt(norm2)
+      val u = Array.fill(v.length)(rnd.nextGaussian())
+      var un2 = 0.0
+      i = 0
+      while (i < u.length) { un2 += u(i) * u(i); i += 1 }
+      val scale = if (un2 == 0 || norm == 0) 0.0 else eps * norm / math.sqrt(un2)
+      val out = new Array[Float](v.length)
+      i = 0
+      while (i < v.length) { out(i) = (v(i) + scale * u(i)).toFloat; i += 1 }
+      (id + idOffset, out)
+    }).toDF("vec_id", "embedding")
+    embeddings.select(col("vec_id").cast("long"), col("embedding")).unionByName(dupes)
+  }
+
   /** EXACT all-pairs cosine near-dup set: every (src < dst) pair with
     * cosine ≥ threshold — the ground truth [[cosineDupes]] is measured
     * against ([[pairRecall]], committed per bench run as

@@ -41,9 +41,10 @@ import org.apache.spark.sql.functions._
   *    [[graft.io.TableIO]] helpers), so `baseDir` may be a local path,
   *    `file:///`, HDFS, or an object-store URI — the storage a 100-TB run
   *    actually checkpoints to (VERDICT r03 #1; `java.nio` before).
-  *  - metrics: per-stage row counts and wall-clock append to `metrics.jsonl`
-  *    (read-modify-write — object stores have no append; the file is
-  *    lineage-record-sized, not data-sized). The row count comes from the
+  *  - metrics: per-stage row counts and wall-clock land as one record FILE
+  *    per stage run under `metrics/` (single create — safe under concurrent
+  *    Checkpoints roots sharing a baseDir), with `metrics.jsonl` rebuilt
+  *    from them as a derived convenience view. The row count comes from the
   *    same aggregation job as the content hash — no separate row-at-a-time
   *    counting pass (VERDICT r01 #6).
   */
@@ -53,6 +54,7 @@ final class Checkpoints(spark: SparkSession, baseDir: String,
   private def dir(name: String) = s"$baseDir/$name"
   private def lineagePath(name: String) = new Path(baseDir, s"${name}_lineage.json")
   private val metricsPath = new Path(baseDir, "metrics.jsonl")
+  private val metricsDir = new Path(baseDir, "metrics")
   private val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
   fs.mkdirs(new Path(baseDir))
 
@@ -124,10 +126,28 @@ final class Checkpoints(spark: SparkSession, baseDir: String,
     val json =
       s"""{"stage":"$name","content_hash":"$hash","inputs":"$inputs","rows":$rows,"seconds":$seconds,"files":$fj,"partitions":$pj$bj}"""
     TableIO.writeFile(lineagePath(name), json)
-    // append shape without append(): object stores don't support it; the
-    // metrics file holds one small record per stage run
-    val prior = TableIO.readFile(metricsPath).getOrElse("")
-    TableIO.writeFile(metricsPath, prior + json + "\n")
+    // Durable metrics: one small record FILE per stage run under metrics/
+    // (a single create — object stores have no append, and a shared-file
+    // read-modify-write can drop records when two Checkpoints roots or
+    // concurrent stages interleave, ADVICE r04). metrics.jsonl is a DERIVED
+    // view rebuilt from the record files after each write: a racing rebuild
+    // can only make the view transiently stale, never lose a record — the
+    // next rebuild folds everything back in.
+    TableIO.writeFile(
+      new Path(metricsDir, s"$name-${java.util.UUID.randomUUID()}.json"), json)
+    TableIO.writeFile(metricsPath, metricRecords.map(_ + "\n").mkString)
+  }
+
+  /** All per-stage-run metric records, oldest first (mtime, then name for
+    * same-millisecond stability) — the authoritative read; `metrics.jsonl`
+    * is the same content as a convenience file.
+    */
+  def metricRecords: Seq[String] = {
+    if (!fs.exists(metricsDir)) Nil
+    else fs.listStatus(metricsDir).iterator
+      .filter(_.getPath.getName.endsWith(".json"))
+      .toVector.sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .flatMap(st => TableIO.readFile(st.getPath))
   }
 
   private val FileRe = """\{"f":"([^"]+)","bytes":(\d+),"mtime":(\d+)\}""".r
@@ -277,7 +297,7 @@ object Checkpoints {
     */
   def configFingerprint(d: graft.dicts.Dicts, threshold: Double): String = {
     def kv(pairs: Seq[(String, String)]): String =
-      pairs.sortBy(_._1).map { case (k, v) => k + "" + v }.mkString("")
+      pairs.sortBy(_._1).map { case (k, v) => k + "\u0002" + v }.mkString("\u0001")
     val repr = Seq(
       kv(d.sourceIds.toSeq.map { case (k, v) => (k, v.toString) }),
       kv(d.inverted.toSeq.map { case (k, v) => (k, v.mkString(",")) }),
@@ -285,8 +305,8 @@ object Checkpoints {
       kv(d.sourceType.toSeq.map { case (k, v) => (k.toString, v) }),
       kv(d.dbpediaUnique.toSeq.map { case (k, v) => (k, v.toSeq.sorted.mkString(",")) }),
       kv(d.dbpediaLabel.toSeq.map { case (k, v) => (k, v.toSeq.sorted.mkString(",")) }),
-      d.licenses.toSeq.sorted.mkString(""),
-      threshold.toString).mkString("")
+      d.licenses.toSeq.sorted.mkString("\u0001"),
+      threshold.toString).mkString("\u0001")
     java.lang.Long.toHexString(graft.core.Hash61.hash(repr))
   }
 

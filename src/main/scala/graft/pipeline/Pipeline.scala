@@ -160,7 +160,25 @@ object Pipeline {
         coalesce($"obj_can", xxhash64($"obj_surface")).as("obj_canonical"))
       .as[Triple]
 
-    Result(mentions, relations, samples, edges, components, triples, Some(scored), Some(det))
+    val result =
+      Result(mentions, relations, samples, edges, components, triples, Some(scored), Some(det))
+    live.add(result)
+    result
+  }
+
+  /** Pipeline results whose persisted intermediates have not been released
+    * yet. Callers that hold a [[Result]] release it directly via
+    * `unpersist()`; harness loops that only see the `triples` DataFrame
+    * (e.g. [[graft.Verify]] running the query registry) call
+    * [[releaseAll]] between queries to free EXACTLY the pipeline caches —
+    * not the whole session cache, which would also evict fixture tables
+    * cached for reuse across queries (ADVICE r04).
+    */
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[Result]()
+
+  def releaseAll(): Unit = {
+    var r = live.poll()
+    while (r != null) { r.unpersist(); r = live.poll() }
   }
 
   /** Deduplicated KG materialization: one row per canonical

@@ -115,6 +115,17 @@ class ResumeSpec extends AnyFunSuite {
     val moved = base.inverted.updated("Stata", Array(1))
     assert(f0 != fp(base.copy(inverted = moved)), "inverted source-id values")
     assert(f0 != fp(base.copy(dbpediaLabel = base.dbpediaLabel - "STATA")), "label mapping")
+    // separator regression (ADVICE r04, high): without the \u0001 joiner the
+    // sorted set {"ab","c"} and {"a","bc"} both concatenate to "abc" and two
+    // different configs silently resume each other's checkpoints
+    assert(fp(base.copy(licenses = Set("ab", "c"))) !=
+      fp(base.copy(licenses = Set("a", "bc"))), "set-element boundary")
+    // and without the \u0002 key/value separator, key "ab" with value "1"
+    // collides with key "ab1" carrying an empty-ish tail at the boundary
+    assert(fp(base.copy(sourceIds = Map("ab" -> 1, "x" -> 2))) !=
+      fp(base.copy(sourceIds = Map("ab1" -> 1, "x" -> 2))) &&
+      fp(base.copy(sourceIds = Map("a" -> 11))) !=
+      fp(base.copy(sourceIds = Map("a1" -> 1))), "key/value boundary")
   }
 
   test("content hash is partition-layout independent") {

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Checkpoints, Pipeline, Transcripts}
+import graft.dicts.Dicts
+
+/** Round-5 hardening: durable metrics under concurrent Checkpoints roots,
+  * targeted cache release for harness loops, and session hygiene.
+  */
+class Round5Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("checkpoint cleanup conf is on (long-running session hygiene)") {
+    assert(spark.sparkContext.getConf
+      .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false),
+      "spark.cleaner.referenceTracking.cleanCheckpoints must be set where sessions are built")
+  }
+
+  test("metrics survive two Checkpoints roots sharing a baseDir (no lost records)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-metrics").toString
+    val a = new Checkpoints(spark, base)
+    val b = new Checkpoints(spark, base)
+    // interleave stage writes from the two roots — the old shared-file
+    // read-modify-write could drop whichever record lost the race; with
+    // one file per stage run, all four must be present
+    a.stage("s1", "i1") { Seq(1, 2, 3).toDF("v") }
+    b.stage("s2", "i2") { Seq(4).toDF("v") }
+    a.stage("s3", "i3") { Seq(5, 6).toDF("v") }
+    b.stage("s4", "i4") { Seq(7).toDF("v") }
+    for (ck <- Seq(a, b)) {
+      val recs = ck.metricRecords
+      assert(recs.size == 4, s"expected 4 metric records, got ${recs.size}")
+      assert(Seq("s1", "s2", "s3", "s4").forall(s => recs.exists(_.contains("\"stage\":\"" + s + "\""))))
+    }
+    // the derived convenience file carries the same records
+    val jsonl = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$base/metrics.jsonl")))
+    assert(Seq("s1", "s2", "s3", "s4").forall(s => jsonl.contains("\"stage\":\"" + s + "\"")))
+  }
+
+  test("Pipeline.releaseAll frees exactly the pipeline's persisted intermediates") {
+    val turns = Transcripts.fixture(spark)
+    val r = Pipeline.run(spark, turns, Dicts.fixture)
+    r.triples.count()
+    // an unrelated cached fixture must SURVIVE the release (the reason
+    // Verify stopped calling session-wide clearCache — ADVICE r04)
+    import spark.implicits._
+    val fixture = Seq(1, 2, 3).toDF("v").cache()
+    fixture.count()
+    assert(r.samples.storageLevel != StorageLevel.NONE, "pipeline persisted its samples")
+    Pipeline.releaseAll()
+    assert(r.samples.storageLevel == StorageLevel.NONE, "releaseAll must unpersist samples")
+    assert(r.edges.storageLevel == StorageLevel.NONE, "releaseAll must unpersist edges")
+    assert(fixture.storageLevel != StorageLevel.NONE, "unrelated caches must survive")
+    fixture.unpersist()
+  }
+}

@@ -15,6 +15,7 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.warehouse.dir", warehouse) // bucketed saveAsTable lands in tmp
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
