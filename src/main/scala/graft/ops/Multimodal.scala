@@ -83,10 +83,18 @@ object Multimodal {
   def meta(media: DataFrame): DataFrame = {
     val p = col("payload")
     val n = length(p)
-    // magic + minimum bytes for the fields we read (hex() is uppercase)
+    // magic + minimum bytes for the fields we read (hex() is uppercase).
+    // The BMP/GIF magics alone are 2–3 ASCII bytes — weak enough that an
+    // ordinary TEXT payload could collide ("BM…", "GIF…") — so both are
+    // corroborated by a second header invariant: BMP's DIB-header-size
+    // field must be one of the sizes that exist (12/40/52/56/64/108/124),
+    // and GIF's version must be "87a"/"89a". PNG's 4-byte \x89PNG magic
+    // cannot occur in valid UTF-8 text.
     val isPng = (n >= 26) && (hex(substring(p, 1, 4)) === "89504E47")
-    val isBmp = (n >= 30) && (hex(substring(p, 1, 2)) === "424D")
-    val isGif = (n >= 10) && (hex(substring(p, 1, 3)) === "474946")
+    val isBmp = (n >= 30) && (hex(substring(p, 1, 2)) === "424D") &&
+      leU16(p, 15).isin(12, 40, 52, 56, 64, 108, 124) && (leU16(p, 17) === 0)
+    val isGif = (n >= 10) && (hex(substring(p, 1, 3)) === "474946") &&
+      hex(substring(p, 4, 3)).isin("383761", "383961")
     val pngChannels = {
       val colorType = u8(p, 26)
       when(colorType === 2, 3).when(colorType === 4, 2)

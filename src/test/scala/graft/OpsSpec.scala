@@ -285,5 +285,14 @@ class MultimodalSpec extends AnyFunSuite {
     // be parsed as one
     val trunc = Seq((5L, Array[Byte](0x89.toByte, 'P', 'N', 'G'))).toDF("doc_id", "payload")
     assert(Multimodal.meta(trunc).collect()(0).getAs[String]("format") == "fake/raw")
+    // ordinary TEXT that happens to start with the 2–3-byte BMP/GIF ASCII
+    // magics must stay fake/raw: the sniff requires a second header
+    // invariant (BMP DIB-header size / GIF version bytes), not magic alone
+    val texty = Seq(
+      (6L, "BMW makes cars; this is a plain text document long enough to sniff".getBytes("UTF-8")),
+      (7L, "GIFs are fun but this payload is prose, not an image container".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.meta(texty).collect().forall(_.getAs[String]("format") == "fake/raw"),
+      "text payloads with magic-like prefixes must not be parsed as media")
   }
 }
