@@ -46,9 +46,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    require(s.sparkContext.getConf
-      .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false),
-      "checkpoint cleanup must be on for long-running sessions")
     s
   }
 

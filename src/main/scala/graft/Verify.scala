@@ -22,7 +22,7 @@ object Verify {
     // a cache hit via plan canonicalization instead of re-scanning the
     // files for each of the 48 queries. Lazy marks — a table used by no
     // query costs nothing.
-    val fixtures = new java.io.File(sfDir).listFiles()
+    val fixtures = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet"))
       .map(f => spark.read.parquet(f.getPath).cache())
     SparkEntry.queries.foreach { case (name, fn) =>

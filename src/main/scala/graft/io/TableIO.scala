@@ -159,6 +159,19 @@ object TableIO {
       done = fs.rename(tmp, cur)
       if (!done) fs.delete(tmp, false)
     }
+    if (!done) {
+      // Persistent rename failure. If `_current` exists, a concurrent
+      // flipper won — fine, last-writer-wins and the forward probe covers
+      // staleness. If it does NOT exist (e.g. a transient store fault on
+      // every attempt), readers still recover through the `_committed`
+      // scan, but every read pays a full listing until the next successful
+      // flip — surface the condition instead of returning silently
+      // (round-5 review).
+      if (!fs.exists(cur))
+        System.err.println(
+          s"[graft.TableIO] WARN: could not install snapshot pointer $cur after $attempt attempts; " +
+            "readers will fall back to the _committed directory scan until the next successful commit")
+    }
   }
 
   /** Commit `df` as the next snapshot; returns the new snapshot id.

@@ -87,12 +87,18 @@ object Multimodal {
     // The BMP/GIF magics alone are 2–3 ASCII bytes — weak enough that an
     // ordinary TEXT payload could collide ("BM…", "GIF…") — so both are
     // corroborated by a second header invariant: BMP's DIB-header-size
-    // field must be one of the sizes that exist (12/40/52/56/64/108/124),
-    // and GIF's version must be "87a"/"89a". PNG's 4-byte \x89PNG magic
-    // cannot occur in valid UTF-8 text.
+    // field must be one of the INFO-family sizes (40/52/56/64/108/124 —
+    // the 12-byte BITMAPCOREHEADER is deliberately excluded: its
+    // width/height/bpp live at different offsets than we parse, so
+    // classifying it would emit garbage metadata; core-header files fall
+    // through to the stub), and GIF's version must be "87a"/"89a". PNG's
+    // 4-byte \x89PNG magic cannot occur in valid UTF-8 text. A text
+    // payload that starts with the LITERAL 6 bytes "GIF89a" is
+    // indistinguishable from a GIF header by any header sniffer (file(1)
+    // included) and classifies as gif — by design.
     val isPng = (n >= 26) && (hex(substring(p, 1, 4)) === "89504E47")
     val isBmp = (n >= 30) && (hex(substring(p, 1, 2)) === "424D") &&
-      leU16(p, 15).isin(12, 40, 52, 56, 64, 108, 124) && (leU16(p, 17) === 0)
+      leU16(p, 15).isin(40, 52, 56, 64, 108, 124) && (leU16(p, 17) === 0)
     val isGif = (n >= 10) && (hex(substring(p, 1, 3)) === "474946") &&
       hex(substring(p, 4, 3)).isin("383761", "383961")
     val pngChannels = {
@@ -213,13 +219,24 @@ object Multimodal {
     Decoded(id, MediaMeta(w, h, raster.getNumBands, formatOf(payload)), mean, payload.length.toLong)
   }
 
-  /** Container format from magic bytes (header parse — never a full decode). */
-  private[graft] def formatOf(payload: Array[Byte]): String =
-    if (payload.length >= 4 && (payload(0) & 0xFF) == 0x89 &&
-        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
-    else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') "bmp"
-    else if (payload.length >= 3 && payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F') "gif"
+  /** Container format from header bytes (a header parse — never a full
+    * decode). EXACTLY the same magic + corroboration rules as [[meta]]'s
+    * column sniff (BMP DIB-header size in the INFO family, GIF version
+    * 87a/89a), so the two paths can never classify the same bytes
+    * differently.
+    */
+  private[graft] def formatOf(payload: Array[Byte]): String = {
+    def u8(i: Int) = payload(i) & 0xFF
+    def leU16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (payload.length >= 26 && u8(0) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
+    else if (payload.length >= 30 && payload(0) == 'B' && payload(1) == 'M' &&
+      Set(40, 52, 56, 64, 108, 124).contains(leU16(14)) && leU16(16) == 0) "bmp"
+    else if (payload.length >= 10 && payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      ((payload(3) == '8' && payload(4) == '7' && payload(5) == 'a') ||
+        (payload(3) == '8' && payload(4) == '9' && payload(5) == 'a'))) "gif"
     else "unknown"
+  }
 
   /** Partition-batched REAL decode — same iterator contract as
     * [[decodeFeatures]], kernel swapped for the actual codec.

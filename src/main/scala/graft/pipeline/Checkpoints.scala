@@ -57,6 +57,13 @@ final class Checkpoints(spark: SparkSession, baseDir: String,
   private val metricsDir = new Path(baseDir, "metrics")
   private val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
   fs.mkdirs(new Path(baseDir))
+  // seeded EAGERLY (one listing per instance): a lazy seed would run after
+  // this instance's first record file lands and double-count it
+  private val knownRecords: scala.collection.mutable.ArrayBuffer[String] = {
+    val b = new scala.collection.mutable.ArrayBuffer[String]()
+    b ++= metricRecords
+    b
+  }
 
   /** Number of full content-hash scans this instance has run — the
     * O(metadata)-resume evidence asserted in ResumeSpec (a fully-valid
@@ -135,12 +142,24 @@ final class Checkpoints(spark: SparkSession, baseDir: String,
     // next rebuild folds everything back in.
     TableIO.writeFile(
       new Path(metricsDir, s"$name-${java.util.UUID.randomUUID()}.json"), json)
-    TableIO.writeFile(metricsPath, metricRecords.map(_ + "\n").mkString)
+    // O(1) view maintenance: append to the in-memory record list (seeded
+    // from a SINGLE listing at construction) instead of re-listing and
+    // re-reading every record file on every stage write — that rebuild was
+    // O(N²) GETs over a run on object stores (round-5 review). Concurrent
+    // roots each write a view containing their own records plus whatever
+    // existed when they started; the record FILES remain the truth and
+    // [[metricRecords]] always reads them all.
+    knownRecords.synchronized {
+      knownRecords += json
+      TableIO.writeFile(metricsPath, knownRecords.map(_ + "\n").mkString)
+    }
   }
 
   /** All per-stage-run metric records, oldest first (mtime, then name for
     * same-millisecond stability) — the authoritative read; `metrics.jsonl`
-    * is the same content as a convenience file.
+    * is the same content as a convenience file (maintained incrementally —
+    * complete for a single writer; under concurrent roots it may lag the
+    * record files, which stay authoritative).
     */
   def metricRecords: Seq[String] = {
     if (!fs.exists(metricsDir)) Nil
@@ -292,8 +311,12 @@ object Checkpoints {
     * promoting a source to strong, retyping a source, or moving a surface
     * between sources resumed STALE checkpoints silently; it also
     * concatenated sorted keys with no separator, so {"ab","c"} and
-    * {"a","bc"} collided.) Fields are joined with control-character
-    * separators that cannot occur in surfaces.
+    * {"a","bc"} collided.) Within a section, key/value pairs join with
+    * \u0002 and entries with \u0001; SECTIONS join with the distinct
+    * \u0003 — if the section joiner were also \u0001, an entry moving
+    * between two adjacent maps would serialize byte-identically and two
+    * different configs would share a fingerprint (round-5 review). All are
+    * control characters that cannot occur in surfaces.
     */
   def configFingerprint(d: graft.dicts.Dicts, threshold: Double): String = {
     def kv(pairs: Seq[(String, String)]): String =
@@ -306,7 +329,7 @@ object Checkpoints {
       kv(d.dbpediaUnique.toSeq.map { case (k, v) => (k, v.toSeq.sorted.mkString(",")) }),
       kv(d.dbpediaLabel.toSeq.map { case (k, v) => (k, v.toSeq.sorted.mkString(",")) }),
       d.licenses.toSeq.sorted.mkString("\u0001"),
-      threshold.toString).mkString("\u0001")
+      threshold.toString).mkString("\u0003")
     java.lang.Long.toHexString(graft.core.Hash61.hash(repr))
   }
 

@@ -70,6 +70,13 @@ object Pipeline {
       detected.foreach(_.unpersist())
       samples.unpersist()
       edges.unpersist()
+      // drop the live-registry reference too: callers that manage their own
+      // Result (Bench, the batch pipeline tests) must not leave an entry
+      // accumulating in the static queue (round-5 review — a long-running
+      // service calling run() per request would otherwise grow it without
+      // bound), and must not have a later harness releaseAll() double-free
+      // their intermediates
+      Pipeline.live.remove(this)
     }
   }
 
@@ -168,11 +175,16 @@ object Pipeline {
 
   /** Pipeline results whose persisted intermediates have not been released
     * yet. Callers that hold a [[Result]] release it directly via
-    * `unpersist()`; harness loops that only see the `triples` DataFrame
-    * (e.g. [[graft.Verify]] running the query registry) call
-    * [[releaseAll]] between queries to free EXACTLY the pipeline caches —
-    * not the whole session cache, which would also evict fixture tables
-    * cached for reuse across queries (ADVICE r04).
+    * `unpersist()` (which also drops its registry entry); harness loops
+    * that only see the `triples` DataFrame (e.g. [[graft.Verify]] running
+    * the query registry) call [[releaseAll]] between queries to free
+    * EXACTLY the pipeline caches — not the whole session cache, which
+    * would also evict fixture tables cached for reuse across queries
+    * (ADVICE r04). [[releaseAll]] is a harness-scope operation: do not
+    * call it from library code while another component's pipeline run is
+    * in flight in the same JVM — it would unpersist that run's
+    * intermediates mid-query (recompute, not corruption, but the ~4×
+    * duplicated-detect cost the eager caching exists to prevent).
     */
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[Result]()
 

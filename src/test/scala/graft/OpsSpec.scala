@@ -294,5 +294,14 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("doc_id", "payload")
     assert(Multimodal.meta(texty).collect().forall(_.getAs[String]("format") == "fake/raw"),
       "text payloads with magic-like prefixes must not be parsed as media")
+    // a BITMAPCOREHEADER (DIB size 12) BMP stores its fields at different
+    // offsets than we parse — it must fall through to the stub rather than
+    // emit garbage dimensions (round-5 review)
+    val core = new Array[Byte](32)
+    core(0) = 'B'; core(1) = 'M'; core(14) = 12 // DIB header size 12, rest zero
+    val coreBmp = Seq((8L, core)).toDF("doc_id", "payload")
+    assert(Multimodal.meta(coreBmp).collect()(0).getAs[String]("format") == "fake/raw",
+      "core-header BMPs are out of parse contract and must not classify as bmp")
+    assert(Multimodal.formatOf(core) == "unknown", "formatOf must agree with meta's sniff")
   }
 }

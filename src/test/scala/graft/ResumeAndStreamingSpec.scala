@@ -126,6 +126,13 @@ class ResumeSpec extends AnyFunSuite {
       fp(base.copy(sourceIds = Map("ab1" -> 1, "x" -> 2))) &&
       fp(base.copy(sourceIds = Map("a" -> 11))) !=
       fp(base.copy(sourceIds = Map("a1" -> 1))), "key/value boundary")
+    // SECTION boundary (round-5 review): an entry moving between two
+    // adjacent maps must change the fingerprint — with the same separator
+    // for entries and sections, {a,b}|{c} and {a}|{b,c} serialized
+    // byte-identically
+    assert(fp(base.copy(sourceIds = Map("a" -> 1, "b" -> 2), inverted = Map("c" -> Array(3)))) !=
+      fp(base.copy(sourceIds = Map("a" -> 1), inverted = Map("b" -> Array(2), "c" -> Array(3)))),
+      "entry moving across the section boundary")
   }
 
   test("content hash is partition-layout independent") {
