@@ -26,8 +26,11 @@ object Reliably {
   def checkpoint(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-      val out = cached.checkpoint(eager = true)
-      cached.unpersist()
-      out
+      // finally: a failed checkpoint job (transient FS fault, executor
+      // loss) must not strand the persisted blocks — in the 35-round CC
+      // loop a retried batch would otherwise leak up to 3 cached plans per
+      // failed round (round-5 review)
+      try cached.checkpoint(eager = true)
+      finally cached.unpersist()
     } else df.localCheckpoint(eager = true)
 }

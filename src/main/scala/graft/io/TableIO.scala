@@ -126,7 +126,15 @@ object TableIO {
         val fs = fsOf(new Path(base))
         var cur = n
         while (fs.exists(committedMarker(s"$base/snapshot=${cur + 1}"))) cur += 1
-        cur
+        // the pointer is an OPTIMIZATION, never truth: if the snapshot it
+        // resolves to is not itself `_committed` (vacuumed from under a
+        // stale pointer, manual deletion, corruption), fall back to the
+        // committed scan rather than returning a dangling id — round-5
+        // review: a dangling id here both broke reads AND let the next
+        // writeSnapshot reuse a LOWER id than an orphaned committed
+        // snapshot, silently shadowing the new commit with old data
+        if (fs.exists(committedMarker(s"$base/snapshot=$cur"))) cur
+        else scanCommitted(base)
       case None => scanCommitted(base)
     }
 
@@ -218,17 +226,27 @@ object TableIO {
     spark.read.parquet(s"$base/snapshot=$snapshot")
 
   /** Read one table of the current multi-table snapshot. */
-  def readTable(spark: SparkSession, base: String, table: String): DataFrame = {
-    val cur = currentSnapshot(base)
-    require(cur >= 0, s"no committed snapshot under $base")
-    spark.read.parquet(s"$base/snapshot=$cur/$table")
+  def readTable(spark: SparkSession, base: String, table: String): DataFrame =
+    readTable(spark, base, table, currentSnapshot(base))
+
+  /** Read one table of an EXPLICIT snapshot — the hot-path form: callers
+    * that touch several tables/markers of the same snapshot resolve
+    * [[currentSnapshot]] once and thread the id, instead of paying the
+    * pointer read + probe per access (the streaming batch loop does this).
+    */
+  def readTable(spark: SparkSession, base: String, table: String, snapshot: Long): DataFrame = {
+    require(snapshot >= 0, s"no committed snapshot under $base")
+    spark.read.parquet(s"$base/snapshot=$snapshot/$table")
   }
 
   /** A marker committed with the current snapshot, or None. */
-  def marker(base: String, name: String): Option[String] = {
-    val cur = currentSnapshot(base)
-    if (cur < 0) None
-    else readFile(new Path(s"$base/snapshot=$cur", name)).map(_.trim)
+  def marker(base: String, name: String): Option[String] =
+    marker(base, name, currentSnapshot(base))
+
+  /** A marker of an EXPLICIT snapshot (see the [[readTable]] overload). */
+  def marker(base: String, name: String, snapshot: Long): Option[String] = {
+    if (snapshot < 0) None
+    else readFile(new Path(s"$base/snapshot=$snapshot", name)).map(_.trim)
   }
 
   /** Bucketed materialization for CO-LOCATED joins (north_rule partitioning
@@ -250,9 +268,19 @@ object TableIO {
       .saveAsTable(table)
   }
 
-  /** Drop all snapshots older than the current one (vacuum). */
-  def vacuum(base: String): Unit = {
+  /** Drop committed snapshots older than the `retain` newest (default:
+    * keep only the current one). Repairs the `_current` pointer FIRST:
+    * `cur` may come from the `_committed` forward probe while the pointer
+    * file still names an older snapshot about to be deleted — deleting
+    * without the repair left the pointer dangling, breaking every read
+    * until the next commit (round-5 review).
+    */
+  def vacuum(base: String, retain: Int = 1): Unit = {
+    require(retain >= 1, "must retain at least the current snapshot")
     val cur = currentSnapshot(base)
+    if (cur < 0) return
+    flipPointer(base, cur)
+    val cutoff = cur - (retain - 1)
     val d = new Path(base)
     val fs = fsOf(d)
     if (!fs.exists(d)) return
@@ -262,7 +290,7 @@ object TableIO {
       // is skipped here exactly as the read paths skip it — a throwing
       // vacuum would silently stop ALL retention cleanup
       if (name.startsWith("snapshot=") &&
-          name.stripPrefix("snapshot=").toLongOption.exists(_ < cur)) {
+          name.stripPrefix("snapshot=").toLongOption.exists(_ < cutoff)) {
         fs.delete(st.getPath, true)
       }
     }

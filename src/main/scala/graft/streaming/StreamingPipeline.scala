@@ -25,7 +25,7 @@ object StreamingPipeline {
     * over broadcast dicts), applied to a streaming Dataset[Turn].
     */
   def mentions(turns: Dataset[Turn], d: Dicts): Dataset[Mention] =
-    MentionDetector.mentions(turns, turns.sparkSession.sparkContext.broadcast(d))
+    MentionDetector.mentions(turns.sparkSession, turns, d)
 
   /** Running mention totals per surface via `mapGroupsWithState` — the
     * custom-state streaming shape (north_star: KeyValueGroupedDataset
@@ -168,17 +168,29 @@ object StreamingPipeline {
       stateDir: String, outDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batch.isEmpty) return
     val stateBase = s"$stateDir/state"
-    val committedBatch = TableIO.marker(stateBase, "batch_id").flatMap(_.toLongOption).getOrElse(-1L)
+    // resolve the committed snapshot ONCE per batch and thread it through
+    // (round-5 review: marker/currentSnapshot/readTable each independently
+    // re-read the pointer + probe markers — 5+ metadata round-trips per
+    // 1-second micro-batch on an object store, re-discovering a value the
+    // single-writer protocol guarantees cannot change mid-batch)
+    val curSnap = TableIO.currentSnapshot(stateBase)
+    val committedBatch =
+      if (curSnap < 0) -1L
+      else TableIO.marker(stateBase, "batch_id", curSnap).flatMap(_.toLongOption).getOrElse(-1L)
     if (batchId == committedBatch) return // replay of the committed batch
     // Spark's streaming checkpoint only ever re-delivers the LAST batch; an
     // id BELOW the committed watermark means the source's batch numbering
     // regressed — a lost/reset checkpointLocation. Silently skipping would
-    // drop NEW data under recycled ids; fail loudly instead.
+    // drop NEW data under recycled ids; fail loudly instead. This guard
+    // runs BEFORE the empty-batch return: with recycled ids after a lost
+    // checkpoint, a run of empty recycled batches must not slip past it and
+    // let the first non-empty recycled id collide with the watermark as a
+    // fake "replay" (round-5 review).
     require(batchId > committedBatch,
       s"batch id $batchId regressed below committed watermark $committedBatch under $stateBase — " +
         "the streaming checkpointLocation was lost/reset; restore it or start a fresh stateDir")
+    if (batch.isEmpty) return
 
     // ONE fused detection pass per batch (same discipline as Pipeline.run /
     // Checkpoints.runPipelineWith — round 2's streaming path scanned every
@@ -193,15 +205,17 @@ object StreamingPipeline {
     val mentions = detDF.filter($"kind" === "m")
       .select($"conv_id", $"turn_idx", $"mention_id", $"label", $"beg", $"end", $"surface")
       .as[Mention]
-    val newSamples = Linking.samples(mentions, relations).persist()
+    // NOT persisted: its single consumer is the anti-join right below —
+    // freshNew (persisted + counted) is what every later stage reuses
+    val newSamples = Linking.samples(mentions, relations)
     var freshNewP: Dataset[LinkingSample] = null
     var newEdgesP: Dataset[Edge] = null
     var allSamplesP: Dataset[LinkingSample] = null
     try {
 
-    val haveState = TableIO.currentSnapshot(stateBase) >= 0
+    val haveState = curSnap >= 0
     val oldSamples: Dataset[LinkingSample] =
-      if (haveState) TableIO.readTable(spark, stateBase, "samples").as[LinkingSample]
+      if (haveState) TableIO.readTable(spark, stateBase, "samples", curSnap).as[LinkingSample]
       else spark.emptyDataset[LinkingSample]
 
     // new-vs-new + new-vs-old (old samples keep their contexts: first wins)
@@ -221,7 +235,7 @@ object StreamingPipeline {
     // and the persisted state is the component map, not the edge set
     val components =
       if (haveState)
-        ConnectedComponents.incremental(TableIO.readTable(spark, stateBase, "components"),
+        ConnectedComponents.incremental(TableIO.readTable(spark, stateBase, "components", curSnap),
           allSamples.select($"sample_id".as[java.lang.Long]), newEdges)
       else
         ConnectedComponents.run(allSamples.select($"sample_id".as[java.lang.Long]), newEdges)
@@ -249,11 +263,18 @@ object StreamingPipeline {
     TableIO.writeSnapshotTables(stateBase,
       Seq("samples" -> allSamples.toDF(), "components" -> components),
       Map("batch_id" -> batchId.toString))
+    // Retention: each commit writes a FULL copy of the accumulated state,
+    // so an unvacuumed 1-second stream accretes ~86k snapshots/day and
+    // cumulative write volume quadratic in stream lifetime (round-5
+    // review). Keep the committed snapshot plus one predecessor (a reader
+    // that resolved the previous snapshot just before this commit can
+    // still finish against it); older ones go.
+    TableIO.vacuum(stateBase, retain = 2)
     } finally {
       // release the batch caches on FAILURE too — foreachBatch retries the
       // batch, and leaked persists (allSamples is the full accumulated
       // state) would pile up across retries in a long-running stream
-      det.unpersist(); newSamples.unpersist()
+      det.unpersist()
       if (freshNewP != null) freshNewP.unpersist()
       if (newEdgesP != null) newEdgesP.unpersist()
       if (allSamplesP != null) allSamplesP.unpersist()

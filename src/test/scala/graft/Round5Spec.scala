@@ -46,6 +46,67 @@ class Round5Spec extends AnyFunSuite {
       "derived view must contain only real records")
   }
 
+  test("vacuum repairs a trailing pointer before deleting what it points at") {
+    import spark.implicits._
+    import graft.io.TableIO
+    val base = Files.createTempDirectory("graft-vac").toString + "/t"
+    TableIO.writeSnapshot(Seq((1, "a")).toDF("k", "v"), base)   // snapshot 0
+    TableIO.writeSnapshot(Seq((2, "b")).toDF("k", "v"), base)   // snapshot 1
+    TableIO.writeSnapshot(Seq((3, "c")).toDF("k", "v"), base)   // snapshot 2
+    // simulate the documented crash window: _committed for 1 and 2 exist
+    // but the pointer still names 0 (crash after marker, before flip)
+    Files.writeString(java.nio.file.Paths.get(s"$base/_current"), "0")
+    assert(TableIO.currentSnapshot(base) == 2L, "forward probe")
+    TableIO.vacuum(base)
+    // pre-fix: vacuum deleted snapshot 0 and 1 but left the pointer at 0 —
+    // reads threw, and the NEXT commit got id 1, silently shadowed by the
+    // orphaned snapshot 2
+    assert(TableIO.currentSnapshot(base) == 2L, "pointer repaired")
+    assert(TableIO.read(spark, base).collect().map(_.getInt(0)).toSeq == Seq(3))
+    val next = TableIO.writeSnapshot(Seq((4, "d")).toDF("k", "v"), base)
+    assert(next == 3L, "next commit must go ABOVE the orphan, not below it")
+    assert(TableIO.read(spark, base).collect().map(_.getInt(0)).toSeq == Seq(4))
+  }
+
+  test("currentSnapshot falls back to the committed scan on a dangling pointer") {
+    import spark.implicits._
+    import graft.io.TableIO
+    val base = Files.createTempDirectory("graft-dangle").toString + "/t"
+    TableIO.writeSnapshot(Seq((1, "a")).toDF("k", "v"), base)   // snapshot 0
+    TableIO.writeSnapshot(Seq((2, "b")).toDF("k", "v"), base)   // snapshot 1
+    // pointer names a snapshot whose directory is gone entirely
+    Files.writeString(java.nio.file.Paths.get(s"$base/_current"), "7")
+    assert(TableIO.currentSnapshot(base) == 1L,
+      "a pointer to a missing snapshot must degrade to the _committed scan")
+  }
+
+  test("vacuum retain=N keeps the N newest committed snapshots") {
+    import spark.implicits._
+    import graft.io.TableIO
+    val base = Files.createTempDirectory("graft-retain").toString + "/t"
+    (0 until 4).foreach(i => TableIO.writeSnapshot(Seq((i, "x")).toDF("k", "v"), base))
+    TableIO.vacuum(base, retain = 2)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/snapshot=1")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/snapshot=2")), "predecessor retained")
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/snapshot=3")))
+    assert(TableIO.currentSnapshot(base) == 3L)
+  }
+
+  test("streaming watermark-regression guard fires even when the recycled batch is empty") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-regress").toString
+    val turns = Transcripts.fixture(spark)
+    graft.streaming.StreamingPipeline.processBatch(turns, Dicts.fixture, dir, s"$dir/out", 5L)
+    // lost checkpointLocation: the source renumbers from 0 — even an EMPTY
+    // recycled batch must fail loudly, not slide silently toward a fake
+    // "replay" collision at the watermark id (round-5 review)
+    val empty = turns.filter($"turn_idx" < -1)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingPipeline.processBatch(empty, Dicts.fixture, dir, s"$dir/out", 0L)
+    }
+    assert(e.getMessage.contains("regressed below committed watermark"))
+  }
+
   test("Pipeline.releaseAll frees exactly the pipeline's persisted intermediates") {
     val turns = Transcripts.fixture(spark)
     val r = Pipeline.run(spark, turns, Dicts.fixture)
