@@ -140,14 +140,39 @@ object ConnectedComponents {
       packedEdges: Array[Array[Long]]): DataFrame = {
     import spark.implicits._
     val nEdges = packedEdges.iterator.map(_.length / 2).sum
-    val index = new java.util.HashMap[java.lang.Long, java.lang.Integer](nEdges * 4)
-    val idsBuf = new scala.collection.mutable.ArrayBuffer[Long](nEdges * 2)
+    val maxIds = math.max(2, nEdges * 2) // incident vertices ≤ 2·edges
+    // Primitive structures END TO END (round-5 review: the packed collect's
+    // 16 B/edge saving was being swamped by a boxed HashMap + ArrayBuffers
+    // here — boxed Long keys alone cost ~50 B each at the 5M-edge cutoff).
+    // Open-addressing long→slot map with linear probing, power-of-two
+    // capacity ≥ 4×maxIds (load factor ≤ 0.25); EMPTY = -1L marks free
+    // slots. Vertex ids are hash-valued longs and MAY be negative — only
+    // the exact value -1L is reserved, and an id hashing to exactly -1L
+    // (probability 2⁻⁶⁴ per id) fails the require loudly instead of
+    // corrupting the map.
+    var cap = java.lang.Integer.highestOneBit(maxIds * 4 - 1) << 1
+    if (cap < 8) cap = 8
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    java.util.Arrays.fill(keys, -1L)
+    val slotOf = new Array[Int](cap)
+    val ids = new Array[Long](maxIds)
+    val parent = new Array[Int](maxIds)
+    var nIds = 0
     def idx(v: Long): Int = {
-      val cur = index.get(v)
-      if (cur != null) cur.intValue()
-      else { val j = idsBuf.length; index.put(v, j); idsBuf += v; j }
+      require(v != -1L, "vertex id -1 collides with the open-addressing sentinel")
+      var h = (java.lang.Long.hashCode(v * 0x9E3779B97F4A7C15L)) & mask
+      while (keys(h) != v && keys(h) != -1L) h = (h + 1) & mask
+      if (keys(h) == v) slotOf(h)
+      else {
+        keys(h) = v
+        slotOf(h) = nIds
+        ids(nIds) = v
+        parent(nIds) = nIds
+        nIds += 1
+        nIds - 1
+      }
     }
-    val parent = new scala.collection.mutable.ArrayBuffer[Int](nEdges * 2)
     def find(x: Int): Int = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -159,23 +184,43 @@ object ConnectedComponents {
       var e = 0
       while (e < chunk.length) {
         val ia = idx(chunk(e)); val ib = idx(chunk(e + 1))
-        while (parent.length < idsBuf.length) parent += parent.length
         val ra = find(ia); val rb = find(ib)
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         e += 2
       }
     }
-    val ids = idsBuf.toArray
-    val minId = new Array[Long](ids.length)
+    val minId = new Array[Long](nIds)
     java.util.Arrays.fill(minId, Long.MaxValue)
     var i = 0
-    while (i < ids.length) {
+    while (i < nIds) {
       val r = find(i)
       if (ids(i) < minId(r)) minId(r) = ids(i)
       i += 1
     }
-    val rows = ids.indices.map(j => (ids(j), minId(find(j))))
-    spark.createDataset(rows).toDF("id", "comp")
+    // Ship the result back out as packed primitive chunks and unbox on the
+    // EXECUTORS: building a driver-side Seq[(Long, Long)] for createDataset
+    // would transiently allocate ~60 B/vertex of tuples+boxes — several
+    // times the structures above at the cutoff.
+    val ChunkRows = 262144
+    val nChunks = (nIds + ChunkRows - 1) / ChunkRows
+    val outChunks = (0 until nChunks).map { c =>
+      val lo = c * ChunkRows
+      val hi = math.min(nIds, lo + ChunkRows)
+      val a = new Array[Long]((hi - lo) * 2)
+      var j = lo
+      while (j < hi) {
+        a((j - lo) * 2) = ids(j)
+        a((j - lo) * 2 + 1) = minId(find(j))
+        j += 1
+      }
+      a
+    }
+    if (nChunks == 0) return spark.emptyDataset[(Long, Long)].toDF("id", "comp")
+    val rdd = spark.sparkContext.parallelize(outChunks, nChunks)
+      .mapPartitions(_.flatMap { a =>
+        (0 until a.length / 2).iterator.map(k => (a(k * 2), a(k * 2 + 1)))
+      })
+    spark.createDataset(rdd).toDF("id", "comp")
   }
 
   /** Typed convenience. */

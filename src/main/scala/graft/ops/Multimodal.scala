@@ -96,11 +96,26 @@ object Multimodal {
     // payload that starts with the LITERAL 6 bytes "GIF89a" is
     // indistinguishable from a GIF header by any header sniffer (file(1)
     // included) and classifies as gif — by design.
-    val isPng = (n >= 26) && (hex(substring(p, 1, 4)) === "89504E47")
-    val isBmp = (n >= 30) && (hex(substring(p, 1, 2)) === "424D") &&
-      leU16(p, 15).isin(40, 52, 56, 64, 108, 124) && (leU16(p, 17) === 0)
-    val isGif = (n >= 10) && (hex(substring(p, 1, 3)) === "474946") &&
+    val magicPng = (n >= 26) && (hex(substring(p, 1, 4)) === "89504E47")
+    val magicBmp = (n >= 30) && (hex(substring(p, 1, 2)) === "424D") &&
+      leU16(p, 15).isin(BmpInfoHeaderSizes.toSeq: _*) && (leU16(p, 17) === 0)
+    val magicGif = (n >= 10) && (hex(substring(p, 1, 3)) === "474946") &&
       hex(substring(p, 4, 3)).isin("383761", "383961")
+    // Dimension sanity gate, applied BEFORE any int cast: Spark 4 runs ANSI
+    // mode by default, where a cast overflow THROWS — one corrupt or
+    // adversarial header encoding a dimension outside [1, Int.MaxValue]
+    // (e.g. PNG width FFFFFFFF, BMP height 0x80000000 whose |·| is 2³¹)
+    // would otherwise abort the whole metadata job (round-5 review). A
+    // malformed header of a recognized container falls through to the stub
+    // row exactly like an unrecognized payload.
+    val pngW = beU32(p, 17); val pngH = beU32(p, 21)
+    val bmpW = abs(leI32(p, 19)); val bmpH = abs(leI32(p, 23))
+    val gifW = leU16(p, 7).cast("long"); val gifH = leU16(p, 9).cast("long")
+    def dimsOk(w: Column, h: Column): Column =
+      (w >= 1L) && (w <= 2147483647L) && (h >= 1L) && (h <= 2147483647L)
+    val isPng = magicPng && dimsOk(pngW, pngH)
+    val isBmp = magicBmp && dimsOk(bmpW, bmpH)
+    val isGif = magicGif && dimsOk(gifW, gifH)
     val pngChannels = {
       val colorType = u8(p, 26)
       when(colorType === 2, 3).when(colorType === 4, 2)
@@ -109,17 +124,21 @@ object Multimodal {
     val bmpChannels = greatest(leU16(p, 29) / 8, lit(1)).cast("int")
     media.select(col("doc_id"),
       n.as("n_bytes"),
-      when(isPng, beU32(p, 17)).when(isBmp, abs(leI32(p, 19)))
-        .when(isGif, leU16(p, 7))
+      when(isPng, pngW).when(isBmp, bmpW).when(isGif, gifW)
         .otherwise(n % 640 + 1).cast("int").as("width"),
-      when(isPng, beU32(p, 21)).when(isBmp, abs(leI32(p, 23)))
-        .when(isGif, leU16(p, 9))
+      when(isPng, pngH).when(isBmp, bmpH).when(isGif, gifH)
         .otherwise(n % 480 + 1).cast("int").as("height"),
       when(isPng, pngChannels).when(isBmp, bmpChannels).when(isGif, 1)
         .otherwise(3).cast("int").as("channels"),
       when(isPng, "png").when(isBmp, "bmp").when(isGif, "gif")
         .otherwise("fake/raw").as("format"))
   }
+
+  /** DIB header sizes of the BMP INFO family — the ONE definition both
+    * sniffers ([[meta]]'s column form and [[formatOf]]'s JVM form) read, so
+    * the two cannot drift apart.
+    */
+  private[graft] val BmpInfoHeaderSizes: Set[Int] = Set(40, 52, 56, 64, 108, 124)
 
   /** Partition-batched decode + feature extraction. The per-batch shape is
     * the real contract (iterator in, iterator out, codec context reused per
@@ -231,7 +250,7 @@ object Multimodal {
     if (payload.length >= 26 && u8(0) == 0x89 &&
       payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
     else if (payload.length >= 30 && payload(0) == 'B' && payload(1) == 'M' &&
-      Set(40, 52, 56, 64, 108, 124).contains(leU16(14)) && leU16(16) == 0) "bmp"
+      BmpInfoHeaderSizes.contains(leU16(14)) && leU16(16) == 0) "bmp"
     else if (payload.length >= 10 && payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
       ((payload(3) == '8' && payload(4) == '7' && payload(5) == 'a') ||
         (payload(3) == '8' && payload(4) == '9' && payload(5) == 'a'))) "gif"

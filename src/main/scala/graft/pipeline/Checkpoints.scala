@@ -58,8 +58,19 @@ final class Checkpoints(spark: SparkSession, baseDir: String,
   private val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
   fs.mkdirs(new Path(baseDir))
   // seeded EAGERLY (one listing per instance): a lazy seed would run after
-  // this instance's first record file lands and double-count it
+  // this instance's first record file lands and double-count it. If the
+  // baseDir predates the per-record-file layout (a metrics.jsonl exists but
+  // no metrics/ directory), its appended records are MIGRATED to record
+  // files first — otherwise the first rewrite of the derived view would
+  // silently destroy the historical metrics (round-5 review).
   private val knownRecords: scala.collection.mutable.ArrayBuffer[String] = {
+    if (!fs.exists(metricsDir)) {
+      TableIO.readFile(metricsPath).foreach { legacy =>
+        legacy.linesIterator.filter(_.nonEmpty).zipWithIndex.foreach { case (line, i) =>
+          TableIO.writeFile(new Path(metricsDir, f"legacy-$i%06d.json"), line)
+        }
+      }
+    }
     val b = new scala.collection.mutable.ArrayBuffer[String]()
     b ++= metricRecords
     b
@@ -326,8 +337,13 @@ object Checkpoints {
       kv(d.inverted.toSeq.map { case (k, v) => (k, v.mkString(",")) }),
       d.strongSources.toSeq.sorted.mkString(","),
       kv(d.sourceType.toSeq.map { case (k, v) => (k.toString, v) }),
-      kv(d.dbpediaUnique.toSeq.map { case (k, v) => (k, v.toSeq.sorted.mkString(",")) }),
-      kv(d.dbpediaLabel.toSeq.map { case (k, v) => (k, v.toSeq.sorted.mkString(",")) }),
+      // set VALUES join with \u0004 — surfaces can legitimately contain
+      // commas ("Washington, D.C."), so a comma joiner made {"a, b"} and
+      // {"a"," b"} fingerprint-identical (round-5 review); int-valued
+      // fields (inverted/strongSources) keep "," since digits can't
+      // contain one
+      kv(d.dbpediaUnique.toSeq.map { case (k, v) => (k, v.toSeq.sorted.mkString("\u0004")) }),
+      kv(d.dbpediaLabel.toSeq.map { case (k, v) => (k, v.toSeq.sorted.mkString("\u0004")) }),
       d.licenses.toSeq.sorted.mkString("\u0001"),
       threshold.toString).mkString("\u0003")
     java.lang.Long.toHexString(graft.core.Hash61.hash(repr))

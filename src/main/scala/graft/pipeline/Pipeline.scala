@@ -167,6 +167,15 @@ object Pipeline {
         coalesce($"obj_can", xxhash64($"obj_surface")).as("obj_canonical"))
       .as[Triple]
 
+    // housekeeping before registering: drop registry entries whose caches
+    // are already gone (released through Result.unpersist — which also
+    // self-removes — OR through direct Dataset.unpersist by a caller that
+    // never saw the registry). Keeps the static queue from pinning dead
+    // Results' plan trees in a long-running service that calls run() per
+    // request without ever invoking the harness APIs (round-5 review).
+    live.removeIf(r => r.samples.storageLevel == StorageLevel.NONE &&
+      r.edges.storageLevel == StorageLevel.NONE &&
+      r.detected.forall(_.storageLevel == StorageLevel.NONE))
     val result =
       Result(mentions, relations, samples, edges, components, triples, Some(scored), Some(det))
     live.add(result)

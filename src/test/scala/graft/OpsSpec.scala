@@ -303,5 +303,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.meta(coreBmp).collect()(0).getAs[String]("format") == "fake/raw",
       "core-header BMPs are out of parse contract and must not classify as bmp")
     assert(Multimodal.formatOf(core) == "unknown", "formatOf must agree with meta's sniff")
+    // ANSI-mode overflow guard (round-5 review): a recognized container
+    // whose header encodes a dimension outside Int range must fall to the
+    // stub, NOT throw a CAST_OVERFLOW that kills the whole metadata job
+    val evil = new Array[Byte](32)
+    evil(0) = 0x89.toByte; evil(1) = 'P'; evil(2) = 'N'; evil(3) = 'G'
+    java.util.Arrays.fill(evil, 16, 20, 0xFF.toByte) // IHDR width = 0xFFFFFFFF
+    evil(21) = 0; evil(22) = 0; evil(23) = 1          // height = 1
+    val evilRow = Multimodal.meta(Seq((9L, evil)).toDF("doc_id", "payload")).collect()(0)
+    assert(evilRow.getAs[String]("format") == "fake/raw",
+      "out-of-range dimensions must demote the payload to the stub row")
+    // zero dimensions are equally malformed
+    val zero = new Array[Byte](32)
+    zero(0) = 0x89.toByte; zero(1) = 'P'; zero(2) = 'N'; zero(3) = 'G' // width=height=0
+    assert(Multimodal.meta(Seq((10L, zero)).toDF("doc_id", "payload"))
+      .collect()(0).getAs[String]("format") == "fake/raw")
   }
 }

@@ -133,6 +133,11 @@ class ResumeSpec extends AnyFunSuite {
     assert(fp(base.copy(sourceIds = Map("a" -> 1, "b" -> 2), inverted = Map("c" -> Array(3)))) !=
       fp(base.copy(sourceIds = Map("a" -> 1), inverted = Map("b" -> Array(2), "c" -> Array(3)))),
       "entry moving across the section boundary")
+    // set VALUES can contain commas — a comma joiner collided these
+    // (round-5 review)
+    assert(fp(base.copy(dbpediaUnique = base.dbpediaUnique.updated("K", Set("Washington, D.C.")))) !=
+      fp(base.copy(dbpediaUnique = base.dbpediaUnique.updated("K", Set("Washington", " D.C.")))),
+      "comma inside a surface must not merge set elements")
   }
 
   test("content hash is partition-layout independent") {

@@ -46,6 +46,21 @@ class Round5Spec extends AnyFunSuite {
       "derived view must contain only real records")
   }
 
+  test("a pre-round-5 metrics.jsonl is migrated, not destroyed, on first write") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-legacy").toString
+    // old layout: appended metrics.jsonl, no metrics/ record directory
+    Files.writeString(java.nio.file.Paths.get(s"$base/metrics.jsonl"),
+      "{\"stage\":\"old1\",\"rows\":5}\n{\"stage\":\"old2\",\"rows\":7}\n")
+    val ck = new Checkpoints(spark, base)
+    ck.stage("fresh", "i") { Seq(1).toDF("v") }
+    val recs = ck.metricRecords
+    assert(Seq("old1", "old2", "fresh").forall(n => recs.exists(_.contains("\"stage\":\"" + n + "\""))),
+      s"legacy records must survive migration: $recs")
+    val jsonl = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$base/metrics.jsonl")))
+    assert(Seq("old1", "old2", "fresh").forall(n => jsonl.contains("\"stage\":\"" + n + "\"")))
+  }
+
   test("vacuum repairs a trailing pointer before deleting what it points at") {
     import spark.implicits._
     import graft.io.TableIO
