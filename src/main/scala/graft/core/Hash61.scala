@@ -27,8 +27,11 @@ object Hash61 {
   val A1: Long = 1752450205419405103L // 6364136223846793005 mod M (MMIX LCG mult)
   val A2: Long = 1629715991156309894L // 3935559000370003845 mod M
 
-  /** (x·y) mod 2^61−1 for 0 ≤ x,y < 2^62 via 128-bit product folding:
+  /** (x·y) mod 2^61−1 for 0 ≤ x,y < 2^61 via 128-bit product folding:
     * 2^64 ≡ 8 and 2^61 ≡ 1 (mod M), so hi·2^64 + lo ≡ hi·8 + (lo>>>61) + (lo&M).
+    * The bound is 2^61, NOT 2^62: at 2^62-wide inputs hi reaches 2^60 and
+    * hi·8 + the folded terms overflows signed Long (round-5 review — every
+    * caller passes reduced values < M, so this documents the real contract).
     */
   def mulmod(x: Long, y: Long): Long = {
     val hi = Math.multiplyHigh(x, y)

@@ -59,8 +59,10 @@ object TagRemap {
 
   // ---------------------------------------------------------------------------
   // The 10 SoMeSci transform tables (configurations/data_transforms/),
-  // verbatim. The tag tables share one 26-name key set; the relation tables
-  // one 11-name key set.
+  // verbatim. The tag tables share one 23-name key set (1 'O' + 13 combined
+  // type_mention names + 9 attributes — counted against the reference
+  // JSONs; an earlier comment said 26, round-5 review) and the relation
+  // tables one 11-name key set.
   // ---------------------------------------------------------------------------
 
   private val SoftTypes = Seq("Application", "PlugIn", "ProgrammingEnvironment", "OperatingSystem")

@@ -93,5 +93,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NormalizeSurface].getName, "graft_normalize"),
       (exprs: Seq[Expression]) => NormalizeSurface(exprs.head)))
+    // keep the two registration paths surface-identical: register() exposes
+    // jaro_sim + graft_normalize + hash61, so the extensions path must too
+    // (round-5 review)
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("hash61"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Hash61Expr].getName, "hash61"),
+      (exprs: Seq[Expression]) => Hash61Expr(exprs.head)))
   }
 }

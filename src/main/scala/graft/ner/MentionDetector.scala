@@ -30,9 +30,11 @@ object MentionDetector {
   // equivalence property-tested in TokenClassSpec)
 
   private val MainSoftTypes = Set("Application", "PlugIn", "ProgrammingEnvironment", "OperatingSystem")
-  private val DeveloperMarkers = Set("inc.", "ltd.", "corp.", "apply", "inc", "ltd", "corp")
-  private val OpenBrackets = Set("(", "[", "{")
-  private val CloseBrackets = Set(")", "]", "}")
+  // shared with TokenFeatures (ONE definition — round-5 review found the
+  // same three sets re-allocated per candidate span there)
+  private[ner] val DeveloperMarkers = Set("inc.", "ltd.", "corp.", "apply", "inc", "ltd", "corp")
+  private[ner] val OpenBrackets = Set("(", "[", "{")
+  private[ner] val CloseBrackets = Set(")", "]", "}")
 
   final private case class SoftSpan(
       begTok: Int, endTok: Int, // token range, exclusive end

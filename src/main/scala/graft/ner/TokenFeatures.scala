@@ -54,7 +54,7 @@ object TokenFeatures {
       lower_case: Boolean,
       headwords: Seq[Boolean]) // 17 slots, Lemma.Headwords order
 
-  private val DevMarkers = Set("inc.", "ltd.", "corp.", "apply", "inc", "ltd", "corp")
+  private val DevMarkers = MentionDetector.DeveloperMarkers
 
   /** Pure per-turn feature matrix (one row per token). */
   def forTurn(conv_id: String, turn_idx: Int, text: String, d: Dicts): Seq[TokenFeatureRow] = {
@@ -89,7 +89,7 @@ object TokenFeatures {
         // span char length != 1 gate of text_is_in_brackets/developer
         val spanCharLen = toks(e - 1).end - toks(b).beg
         fires(8) = spanCharLen != 1 && b >= 1 && e < n &&
-          Set("(", "[", "{")(surfaces(b - 1)) && Set(")", "]", "}")(surfaces(e))
+          MentionDetector.OpenBrackets(surfaces(b - 1)) && MentionDetector.CloseBrackets(surfaces(e))
         fires(9) = spanCharLen != 1 && b >= 1 && e < n &&
           surfaces(b - 1) == "(" && surfaces(e) == ")" && {
             var i = b; var found = false

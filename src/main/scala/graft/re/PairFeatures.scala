@@ -35,7 +35,7 @@ object PairFeatures {
   val EntityTypes: Seq[String] = Seq(
     "Application", "PlugIn", "ProgrammingEnvironment", "OperatingSystem",
     "SoftwareCoreference", "Version", "Developer", "URL", "License", "Citation",
-    "Abbreviation", "AlternativeName", "Release", "Extension", "O")
+    "Abbreviation", "AlternativeName", "Release", "Extension", "Specification", "O")
   val MentionTypes: Seq[String] = Seq("Creation", "Deposition", "Usage", "Mention", "None")
 
   final case class REPairFeatures(
@@ -93,7 +93,13 @@ object PairFeatures {
     val sorted = spans.sortBy(_.beg) // O4
     val mainCount = sorted.count(s => MainEntities(s.typ))
     val out = Vector.newBuilder[REPairFeatures]
-    def acr(s: Span): Option[String] = Normalize.acronym(s.surface.split("\\s+").toIndexedSeq)
+    // per-SPAN precomputation, hoisted out of the ordered-pair double loop:
+    // acronym() is regex-heavy and tokCount/corrected are pure functions of
+    // the span — computing them per pair cost 2·k·(k−1) evaluations where k
+    // suffice (round-5 review; 760 vs 20 acronym calls at k=20)
+    val acrs = sorted.map(s => Normalize.acronym(s.surface.split("\\s+").toIndexedSeq))
+    val tokCounts = sorted.map(s => tokCount(s.surface))
+    val correctedTypes = sorted.map(s => corrected(s.typ))
     for (i <- sorted.indices; j <- sorted.indices if i != j) {
       val p0 = sorted(i); val p1 = sorted(j)
       val (smaller, larger) = if (p0.beg > p1.beg) (p1, p0) else (p0, p1)
@@ -103,9 +109,9 @@ object PairFeatures {
       val lo = math.min(math.max(smaller.end, 0), t.text.length)
       val hi = math.min(math.max(larger.beg, lo), t.text.length)
       val distanceString = t.text.substring(lo, hi)
-      val a0 = acr(p0); val a1 = acr(p1)
-      val (e0t, m0t) = corrected(p0.typ)
-      val (e1t, m1t) = corrected(p1.typ)
+      val a0 = acrs(i); val a1 = acrs(j)
+      val (e0t, m0t) = correctedTypes(i)
+      val (e1t, m1t) = correctedTypes(j)
       val label = gold.find(r => r.subj_beg == p0.beg && r.obj_beg == p1.beg)
         .map(_.pred).getOrElse("none")
       out += REPairFeatures(
@@ -114,9 +120,9 @@ object PairFeatures {
         entity_distance_tok = tokCount(distanceString),
         entity_order = p1.beg > p0.beg,
         entity_0_char_length = p0.end - p0.beg,
-        entity_0_token_length = tokCount(p0.surface),
+        entity_0_token_length = tokCounts(i),
         entity_1_char_length = p1.end - p1.beg,
-        entity_1_token_length = tokCount(p1.surface),
+        entity_1_token_length = tokCounts(j),
         num_main_entities = mainCount,
         entity_0_substring_of_entity_1 = Normalize.isSubstring(Some(p0.surface), Some(p1.surface)),
         acronym_entity_0_substring_of_entity_1 = Normalize.isSubstring(a0, Some(p1.surface)),

@@ -42,8 +42,17 @@ object Brat {
         else {
           val mid = parts(1).split(" |;")
           val typ = mid(0)
-          val nums = mid.drop(1).filter(_.nonEmpty).map(_.toInt)
-          Some(Left(AnnEntity(parts(0), typ, nums.min, nums.max, parts(2))))
+          // defensive like every other malformed shape: a T-line with no
+          // offsets (truncated file) or ANY non-numeric offset token must be
+          // SKIPPED whole — not crash the distributed parse with empty.min /
+          // NumberFormatException, and not half-parse a corrupt span
+          // (round-5 review)
+          val numOpts = mid.drop(1).filter(_.nonEmpty).map(_.toIntOption)
+          if (numOpts.isEmpty || numOpts.exists(_.isEmpty)) None
+          else {
+            val nums = numOpts.flatten
+            Some(Left(AnnEntity(parts(0), typ, nums.min, nums.max, parts(2))))
+          }
         }
       case 'R' =>
         val parts = line.split("\t")

@@ -52,30 +52,41 @@ object LinkingJson {
         expr("transform(relations, r -> struct(r.typ AS type, r.string AS string))"))
       .write.mode("overwrite").json(path)
 
-  /** Records → deduplicated LinkingSample set, the same keying as
-    * `Linking.samples` (sample_id = xxhash64(mention); first occurrence by
-    * (paper_id, sentence_id, beg) wins the context slot; relations from the
-    * winning occurrence).
+  /** Records → deduplicated LinkingSample set, the same keying AND the same
+    * context/relations semantics as `Linking.samples`: sample_id =
+    * xxhash64(mention); the first-ordered occurrence by
+    * (paper_id, sentence_id, beg) supplies the context fields; relations are
+    * aggregated ACROSS the bounded top-5 contexts, each context's relation
+    * list sorted by (typ, string), concatenated in context order — the
+    * fused path's `sort_array` + `flatten($"contexts.rels")` shape. (Round-5
+    * review: taking relations from only the winning occurrence dropped any
+    * relation annotated in a later context, so ED features diverged between
+    * the JSON-loaded and fused paths on the same corpus.)
     */
   def toSamples(records: Dataset[LinkingRecord]): Dataset[LinkingSample] = {
     val spark = records.sparkSession
     import spark.implicits._
+    val ord = Ordering.by[LinkingRecord, (String, Int, Int)](r => (r.paper_id, r.sentence_id, r.beg))
+    val relOrd = Ordering.by[RelInfo, (String, String)](r => (r.typ, r.string))
+    val k = graft.ed.Linking.MaxContexts
     records
       .groupByKey(_.mention)
-      .reduceGroups((a, b) =>
-        if (Ordering.Tuple3(Ordering.String, Ordering.Int, Ordering.Int)
-          .lteq((a.paper_id, a.sentence_id, a.beg), (b.paper_id, b.sentence_id, b.beg))) a else b)
-      .map { case (mention, r) =>
+      .mapGroups { (mention, it) =>
+        // bounded fold: the buffer never exceeds k+1 records, so a hot
+        // surface with millions of occurrences costs O(n·k), not O(n) memory
+        var top = Vector.empty[LinkingRecord]
+        it.foreach { r => top = (top :+ r).sorted(ord).take(k) }
+        val first = top.head
         LinkingSample(
           sample_id = 0L, // filled below via xxhash64 for engine-identical keying
-          conv_id = r.paper_id,
-          turn_idx = r.sentence_id,
-          beg = r.beg,
+          conv_id = first.paper_id,
+          turn_idx = first.sentence_id,
+          beg = first.beg,
           mention = mention,
           string = Normalize.removeSpaces(mention),
           norm = Normalize.normalize(mention),
-          ent_type = r.ent_type,
-          relations = r.relations)
+          ent_type = first.ent_type,
+          relations = top.flatMap(r => r.relations.sorted(relOrd)))
       }
       .toDF()
       .withColumn("sample_id", xxhash64(col("mention")))

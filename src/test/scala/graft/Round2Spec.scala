@@ -333,8 +333,27 @@ class FormatRoundTripSpec extends AnyFunSuite {
     assert(samples.length == 2) // dedup by mention
     val stata = samples.find(_.mention == "Stata").get
     assert(stata.conv_id == "p0" && stata.turn_idx == 0) // first occurrence wins
+    // relations AGGREGATE across the top-5 contexts like Linking.samples'
+    // flatten(contexts.rels) — the Version_of here is annotated only in the
+    // SECOND occurrence and was silently dropped before (round-5 review)
+    assert(stata.relations == Seq(RelInfo("Version_of", "13.1")),
+      s"relations from later contexts must be kept: ${stata.relations}")
     val cpp = samples.find(_.mention == "C + +").get
     assert(cpp.string == "C++" && cpp.norm == "c") // remove_spaces / normalize recomputed
+  }
+
+  test("S6: truncated/offset-less T-lines are skipped, not fatal") {
+    val spark = SparkTestSession.spark
+    // 'T1<TAB>Application<TAB>Stata' has a type but NO offsets; a bad-offset
+    // line is equally malformed — both must parse to nothing instead of
+    // killing the distributed parse with empty.min / NumberFormatException
+    val lines = Seq(
+      "T1\tApplication\tStata",
+      "T2\tApplication 3 x\tR",
+      "T3\tApplication 12 17\tSPSS")
+    val parsed = Brat.parseDoc("d1", lines.mkString("\n"))
+    assert(parsed.entities.map(_.id) == Seq("T3"),
+      s"only the well-formed entity must survive: ${parsed.entities}")
   }
 }
 
@@ -509,6 +528,9 @@ class PairFeaturesSpec extends AnyFunSuite {
 
   test("F17: one-hot expansion raises on unknown type") {
     assert(PairFeatures.oneHot(PairFeatures.EntityTypes, "Version").sum == 1)
+    // Specification is a supported attribute label (AttrPredicate /
+    // RelationNames) — it must be one-hot encodable too (round-5 review)
+    assert(PairFeatures.oneHot(PairFeatures.EntityTypes, "Specification").sum == 1)
     assertThrows[IllegalArgumentException](PairFeatures.oneHot(PairFeatures.EntityTypes, "Nope"))
   }
 }
