@@ -180,7 +180,17 @@ object Bench {
       val times = headline.map { name =>
         val fn = qmap(alias(name))
         fn(spark1, sfDir).count() // warm-up: JIT + codegen + parquet footer cache
-        val sec = (1 to headlineReps).map(_ => time(fn(spark1, sfDir).count())).min
+        graft.pipeline.Pipeline.releaseAll() // the warm-up's own pipeline caches
+        val sec = (1 to headlineReps).map { _ =>
+          val t = time(fn(spark1, sfDir).count())
+          // release BETWEEN reps, outside the timed region: each KG-query
+          // invocation persists its own intermediates, and 1 warm-up + 3
+          // reps otherwise hold ~4x the working set DURING the measured
+          // runs — LRU churn inside the timing at larger SFs (round-5
+          // review)
+          graft.pipeline.Pipeline.releaseAll()
+          t
+        }.min
         // each KG-query invocation persists its own pipeline intermediates;
         // drop the orphaned blocks before the next query (VERDICT r03 hygiene)
         spark1.sharedState.cacheManager.clearCache()

@@ -38,29 +38,20 @@ object SparkEntry {
     */
   private def turns2(s: SparkSession, dir: String) = {
     import s.implicits._
-    docs(s, dir).select(
-      concat(lit("c"), (col("doc_id") / 10).cast("long")).as("conv_id"),
-      (col("doc_id") % 10).cast("int").as("turn_idx"),
-      when(col("doc_id") % 3 === 0, "user")
-        .when(col("doc_id") % 3 === 1, "assistant").otherwise("tool").as("role"),
+    // ONE turn-column derivation (Transcripts.turnColumns) with only the
+    // text augmentation local to this variant — no hand-mirrored copies of
+    // the conv_id/role/tool/ts formulas (round-5 review)
+    docs(s, dir).select(graft.pipeline.Transcripts.turnColumns(
       when(col("doc_id") % 4 === 0, concat(col("text"), lit(" version 2.1")))
         .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" Spark version 3.2")))
-        .otherwise(col("text")).as("text"),
-      when(col("doc_id") % 3 === 2, lit("search")).otherwise(lit(null).cast("string")).as("tool"),
-      expr("timestampadd(SECOND, doc_id, TIMESTAMP '2025-01-01 00:00:00')").as("ts"))
+        .otherwise(col("text"))): _*)
       .as[Turn]
   }
 
-  private val turns2Sql: String =
-    """SELECT 'c' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
-      |       CAST(doc_id % 10 AS INT) AS turn_idx,
-      |       CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
-      |       CASE WHEN doc_id % 4 = 0 THEN text || ' version 2.1'
+  private val turns2Sql: String = graft.pipeline.Transcripts.fromDocumentsSqlWith(
+    """CASE WHEN doc_id % 4 = 0 THEN text || ' version 2.1'
       |            WHEN doc_id % 4 = 2 THEN text || ' Spark version 3.2'
-      |            ELSE text END AS text,
-      |       CASE WHEN doc_id % 3 = 2 THEN 'search' ELSE NULL END AS tool,
-      |       TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts
-      |FROM documents""".stripMargin
+      |            ELSE text END""".stripMargin)
 
   private val softwareList = Dicts.TestdataSoftware
   // '' -escaped: an apostrophe entry (natural in stopword lists) would
@@ -641,6 +632,18 @@ object SparkEntry {
           |SELECT token, CAST(row_number() OVER (ORDER BY fs) AS BIGINT) AS vid
           |FROM fs ORDER BY vid""".stripMargin,
 
+      // LOAD-BEARING corpus assumptions (round-5 review): the engine
+      // numbers T-ids over ALL detected spans per turn (gazetteer hits,
+      // version/citation patterns, multi-token candidates) sorted by beg;
+      // this oracle counts ONLY single-token gazetteer hits with label
+      // Application_Mention. Equality therefore requires that on the
+      // testdata-derived transcripts (a) no version-like/citation token
+      // fires (word-salad text has none adjacent to software tokens except
+      // the turns2-injected markers, which belong to OTHER queries'
+      // transcripts — this one reads the PLAIN derivation) and (b) every
+      // gazetteer mention is single-token. Regenerated testdata violating
+      // either shifts T-ids and reds this row — the corpus invariant, not
+      // the engine, is what changed.
       "q_ner_mentions" ->
         s"""WITH $mentionsSql
            |SELECT conv_id, turn_idx,
@@ -754,12 +757,16 @@ object SparkEntry {
       // A4: rule counting over all candidate spans, arrays + gaps SQL; the
       // closed lemma table is inlined as a CASE generated from Lemma.Table.
       "q_a4_token_features" -> {
+        // '' -escaped like sqlList: an apostrophe in a future lemma form
+        // (can't, possessives) must not be a DuckDB syntax error (round-5
+        // review)
+        def q1(x: String) = s"'${x.replace("'", "''")}'"
         val lemCase = "CASE lower(token) " +
           graft.core.Lemma.Table.toSeq.filter(kv => kv._1 != kv._2).sortBy(_._1)
-            .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ") +
+            .map { case (k, v) => s"WHEN ${q1(k)} THEN ${q1(v)}" }.mkString(" ") +
           " ELSE lower(token) END"
         val wikidata = sqlList(softwareList)
-        val wiktionary = sqlList(Seq("table", "value", "data", "row", "line"))
+        val wiktionary = sqlList(Dicts.TestdataWiktionary)
         s"""WITH tr AS (${Transcripts.fromDocumentsSql}),
            |tok AS (
            |  SELECT tr.conv_id, tr.turn_idx,
@@ -1164,7 +1171,16 @@ object SparkEntry {
       // MinHash+LSH with one-row bands (q uses bands = numHashes = 32): per
       // true pair at s ≥ 0.5 the candidate-miss probability is (1-s)^32 ≤
       // 2.3e-10, and the output is exact-Jaccard-verified, so the emitted
-      // set equals the full exact-Jaccard pair set, which IS expressible:
+      // set equals the full exact-Jaccard pair set, which IS expressible.
+      // LOAD-BEARING corpus assumption (round-5 review): the engine caps
+      // LSH buckets (maxBucket defaults — 1000 here, 4096 in the
+      // cosine/ANN family), and the oracle's exact set is UNCAPPED; the
+      // equality above additionally requires that no bucket exceeds its
+      // cap at the verify SFs (true for the word-salad testdata — largest
+      // band bucket ≪ cap; DedupSkewSpec covers what capping does when it
+      // DOES bind). A corpus with >cap near-identical docs in one bucket
+      // would red these rows by design — the cap, not the engine, is the
+      // divergence. Same assumption for q_ann_lsh / q_ann_cosine_dupes.
       "q_dedup_minhash" ->
         """WITH sh0 AS (
           |  SELECT doc_id, text,

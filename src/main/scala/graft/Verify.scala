@@ -28,7 +28,10 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // fatal JVM errors (OOM, LinkageError) must PROPAGATE: continuing 48
+        // more queries in a heap-exhausted JVM produces garbage parquet the
+        // oracle compare then blames on engine correctness (round-5 review)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // the KG queries persist pipeline intermediates for their own

@@ -152,7 +152,7 @@ object Dicts {
   lazy val testdata: Dicts = build(
     sources = Seq(
       "wikidata_software" -> TestdataSoftware,
-      "wiktionary_english" -> Seq("table", "value", "data", "row", "line")),
+      "wiktionary_english" -> TestdataWiktionary),
     strong = Set("wikidata_software"),
     typeOf = Map("wikidata_software" -> "Application", "wiktionary_english" -> "Application"),
     dbpediaUnique = Map("spark" -> Set("Spark"), "hash" -> Set("Hash")))
@@ -166,6 +166,12 @@ object Dicts {
     */
   val TestdataSoftware: Seq[String] =
     Seq("spark", "hash", "merge", "sort", "window", "filter", "scan", "agg", "Spark")
+
+  /** The testdata weak-dictionary surfaces — same single-source contract as
+    * [[TestdataSoftware]]: oracle SQL derives from THIS list (round-5
+    * review found it duplicated verbatim in the q_a4 oracle).
+    */
+  val TestdataWiktionary: Seq[String] = Seq("table", "value", "data", "row", "line")
 
   def broadcast(spark: SparkSession, d: Dicts): Broadcast[Dicts] =
     spark.sparkContext.broadcast(d)

@@ -78,27 +78,41 @@ object Transcripts {
     * byte-identical table is constructible in DuckDB SQL (see
     * [[Transcripts.fromDocumentsSql]]). 10 turns per conversation.
     */
+  /** The ONE doc→turn column derivation (conv_id/turn_idx/role/tool/ts
+    * formulas). `textCol` is parameterized so callers can augment the text
+    * (SparkEntry's `turns2` appends version markers) without re-mirroring
+    * the other five columns — the hand-sync drift class the round-3 review
+    * eliminated for the token CTE (round-5 review for the turn columns).
+    */
+  private[graft] def turnColumns(textCol: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+    concat(lit("c"), (col("doc_id") / 10).cast("long")).as("conv_id"),
+    (col("doc_id") % 10).cast("int").as("turn_idx"),
+    when(col("doc_id") % 3 === 0, "user")
+      .when(col("doc_id") % 3 === 1, "assistant").otherwise("tool").as("role"),
+    textCol.as("text"),
+    when(col("doc_id") % 3 === 2, lit("search")).otherwise(lit(null).cast("string")).as("tool"),
+    expr("timestampadd(SECOND, doc_id, TIMESTAMP '2025-01-01 00:00:00')").as("ts"))
+
   def fromDocuments(spark: SparkSession, sfDir: String): Dataset[Turn] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(
-        concat(lit("c"), (col("doc_id") / 10).cast("long")).as("conv_id"),
-        (col("doc_id") % 10).cast("int").as("turn_idx"),
-        when(col("doc_id") % 3 === 0, "user")
-          .when(col("doc_id") % 3 === 1, "assistant").otherwise("tool").as("role"),
-        col("text"),
-        when(col("doc_id") % 3 === 2, lit("search")).otherwise(lit(null).cast("string")).as("tool"),
-        expr("timestampadd(SECOND, doc_id, TIMESTAMP '2025-01-01 00:00:00')").as("ts"))
+      .select(turnColumns(col("text")): _*)
       .as[Turn]
   }
 
+  /** The same derivation as ANSI SQL for the DuckDB oracle, with the text
+    * expression parameterized for augmented variants (mirrors
+    * [[turnColumns]]).
+    */
+  private[graft] def fromDocumentsSqlWith(textExpr: String): String =
+    s"""SELECT 'c' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+       |       CAST(doc_id % 10 AS INT) AS turn_idx,
+       |       CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+       |       $textExpr AS text,
+       |       CASE WHEN doc_id % 3 = 2 THEN 'search' ELSE NULL END AS tool,
+       |       TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts
+       |FROM documents""".stripMargin
+
   /** The same derivation as ANSI SQL for the DuckDB oracle. */
-  def fromDocumentsSql: String =
-    """SELECT 'c' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
-      |       CAST(doc_id % 10 AS INT) AS turn_idx,
-      |       CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
-      |       text,
-      |       CASE WHEN doc_id % 3 = 2 THEN 'search' ELSE NULL END AS tool,
-      |       TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts
-      |FROM documents""".stripMargin
+  def fromDocumentsSql: String = fromDocumentsSqlWith("text")
 }
