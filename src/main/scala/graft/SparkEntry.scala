@@ -1260,7 +1260,9 @@ object SparkEntry {
            |         sum(CAST(qe[i.x + 1] AS DOUBLE) * CAST(qe[i.x + 1] AS DOUBLE)) AS qq,
            |         sum(CAST(ce[i.x + 1] AS DOUBLE) * CAST(ce[i.x + 1] AS DOUBLE)) AS cc
            |  FROM pairs, range(64) i(x) GROUP BY query_id, neighbor_id),
-           |sims AS (SELECT query_id, neighbor_id, round(dot / (sqrt(qq) * sqrt(cc)), 6) AS sim FROM dots),
+           |sims AS (SELECT query_id, neighbor_id,
+           |                round(CASE WHEN qq = 0 OR cc = 0 THEN 0.0 ELSE dot / (sqrt(qq) * sqrt(cc)) END, 6) AS sim
+           |         FROM dots),
            |ranked AS (SELECT query_id, neighbor_id, sim,
            |                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
            |           FROM sims)
@@ -1301,7 +1303,9 @@ object SparkEntry {
            |         sum(CAST(ea[i.x + 1] AS DOUBLE) * CAST(ea[i.x + 1] AS DOUBLE)) AS aa,
            |         sum(CAST(eb[i.x + 1] AS DOUBLE) * CAST(eb[i.x + 1] AS DOUBLE)) AS bb2
            |  FROM pairs, range(64) i(x) GROUP BY src, dst),
-           |sims AS (SELECT src, dst, round(dot / (sqrt(aa) * sqrt(bb2)), 6) AS sim FROM dots)
+           |sims AS (SELECT src, dst,
+           |                round(CASE WHEN aa = 0 OR bb2 = 0 THEN 0.0 ELSE dot / (sqrt(aa) * sqrt(bb2)) END, 6) AS sim
+           |         FROM dots)
            |SELECT src, dst, sim FROM sims WHERE sim >= 0.35
            |ORDER BY src, dst""".stripMargin,
 
@@ -1315,7 +1319,9 @@ object SparkEntry {
           |         sum(CAST(qe[i.x + 1] AS DOUBLE) * CAST(qe[i.x + 1] AS DOUBLE)) AS qq,
           |         sum(CAST(ce[i.x + 1] AS DOUBLE) * CAST(ce[i.x + 1] AS DOUBLE)) AS cc
           |  FROM pairs, range(64) i(x) GROUP BY query_id, neighbor_id),
-          |sims AS (SELECT query_id, neighbor_id, round(dot / (sqrt(qq) * sqrt(cc)), 6) AS sim FROM dots),
+          |sims AS (SELECT query_id, neighbor_id,
+           |                round(CASE WHEN qq = 0 OR cc = 0 THEN 0.0 ELSE dot / (sqrt(qq) * sqrt(cc)) END, 6) AS sim
+           |         FROM dots),
           |ranked AS (SELECT query_id, neighbor_id, sim,
           |                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
           |           FROM sims)

@@ -152,11 +152,20 @@ object EdEval {
       dicts: Broadcast[Dicts],
       threshold: Double = PairScorer.Threshold,
       maxBlockSize: Int = 1000,
-      scoredCounter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Edge] = {
+      scoredCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      excludeSelf: Boolean = false): Dataset[Edge] = {
     val spark = newSamples.sparkSession
     import spark.implicits._
-    val candidates = Blocking.keyedCapped(newSamples, dicts, "src", maxBlockSize)
+    val base = Blocking.keyedCapped(newSamples, dicts, "src", maxBlockSize)
       .join(Blocking.keyedCapped(oldSamples, dicts, "dst", maxBlockSize), "key")
+    // DEFAULT keeps (x, x) pairs: for the J8 new-vs-old compare the same
+    // sample appearing in both sets IS the signal ("entity persists across
+    // runs", dist 0) and the q_j8_compare oracle counts those rows. Callers
+    // feeding OVERLAPPING sets into graph construction (where a dist-0
+    // self-loop is noise and the self-score a wasted PairScorer call) pass
+    // excludeSelf = true; the streaming path anti-joins first, so its sets
+    // are disjoint either way (round-5 review).
+    val candidates = (if (excludeSelf) base.filter(col("src") =!= col("dst")) else base)
       .select(col("src"), col("dst")).distinct()
     val withPayload = candidates
       .join(newSamples.toDF().as("sa"), col("src") === col("sa.sample_id"))

@@ -61,6 +61,55 @@ object Hac {
     * cluster id is the minimum member id (deterministic representative —
     * the reference uses fresh integer ids, which are not stable keys).
     */
+
+  /** Linkage distance over the cached condensed matrix — ONE definition
+    * shared by [[cluster]] and [[intervalCluster]] (round-5 review found it
+    * duplicated verbatim, like the merge loop below).
+    */
+  private def linkDistFn(d: Array[Array[Double]], linkage: String)(
+      a: Vector[Int], b: Vector[Int]): Double = {
+    val all = for (x <- a; y <- b) yield d(x)(y)
+    linkage match {
+      case "single"   => all.min
+      case "complete" => all.max
+      case "average"  => all.sum / all.length
+    }
+  }
+
+  /** Transitive merge of tied/below-threshold pairs (_match_clusters):
+    * union overlapping pair-sets, then replace the member clusters with one
+    * fresh-id cluster per group. Returns (clusters, nextId).
+    */
+  private def mergeGroups(matches: Vector[(Int, Int)],
+      clusters0: Map[Int, Vector[Int]], nextId0: Int): (Map[Int, Vector[Int]], Int) = {
+    var groups = matches.map { case (a, b) => Set(a, b) }
+    var merged = true
+    while (merged) {
+      merged = false
+      var i = 0
+      while (i < groups.length && !merged) {
+        var j = i + 1
+        while (j < groups.length && !merged) {
+          if ((groups(i) & groups(j)).nonEmpty) {
+            groups = groups.updated(i, groups(i) | groups(j)).patch(j, Nil, 1)
+            merged = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    var clusters = clusters0
+    var nextId = nextId0
+    for (g <- groups) {
+      val members = g.toVector.flatMap(clusters(_))
+      clusters = clusters -- g
+      clusters += (nextId -> members)
+      nextId += 1
+    }
+    (clusters, nextId)
+  }
+
   def cluster(ids: IndexedSeq[Long], dist: (Int, Int) => Double,
       linkage: String, threshold: Double): Map[Long, Long] = {
     require(Set("single", "complete", "average")(linkage), s"unknown linkage $linkage")
@@ -74,60 +123,31 @@ object Hac {
     var clusters: Map[Int, Vector[Int]] = (0 until n).map(i => i -> Vector(i)).toMap
     var nextId = n
     var done = false
+    val linkDist = linkDistFn(d, linkage) _
     while (!done && clusters.size > 1) {
-      // linkage distance between every cluster pair
-      def linkDist(a: Vector[Int], b: Vector[Int]): Double = {
-        val all = for (x <- a; y <- b) yield d(x)(y)
-        linkage match {
-          case "single"   => all.min
-          case "complete" => all.max
-          case "average"  => all.sum / all.length
-        }
-      }
       val keys = clusters.keys.toIndexedSeq.sorted
+      // TWO passes — exact global minimum first, THEN collect all pairs
+      // isClose to it, exactly the reference's min-then-collect order
+      // (round-5 review: the old single-pass kept a STALE `smallest` when a
+      // close-from-below value was appended as a tie, so a later value
+      // close to the true minimum but not to the stale one dropped ties the
+      // reference merges, and the stale `smallest > threshold` stop test
+      // could end a round early). Pair values are computed once per round
+      // and reused across the two passes.
+      val pairs = (for (ai <- keys.indices; bi <- ai + 1 until keys.length)
+        yield (keys(ai), keys(bi))).toVector
+      val vals = pairs.map { case (a, b) => linkDist(clusters(a), clusters(b)) }
       // Double.PositiveInfinity, NOT the reference's implicit 1.0 bound: the
       // public dist() is caller-supplied and unbounded, and a 1.0 sentinel
-      // would make any distance in (1.0, threshold] unreachable (and treat a
-      // first value of exactly 1.0 as a "tie" with the sentinel). matches is
-      // checked non-empty before the tie test so isClose never sees infinity.
-      var smallest = Double.PositiveInfinity
-      var matches = Vector.empty[(Int, Int)]
-      for (ai <- keys.indices; bi <- ai + 1 until keys.length) {
-        val a = keys(ai); val b = keys(bi)
-        val v = linkDist(clusters(a), clusters(b))
-        if (matches.nonEmpty && isClose(smallest, v)) {
-          matches :+= ((a, b))
-        } else if (v < smallest) {
-          smallest = v
-          matches = Vector((a, b))
-        }
-      }
+      // would make any distance in (1.0, threshold] unreachable.
+      val smallest = if (vals.isEmpty) Double.PositiveInfinity else vals.min
+      val matches = pairs.iterator.zip(vals.iterator)
+        .collect { case (p, v) if isClose(smallest, v) => p }.toVector
       if (smallest > threshold || matches.isEmpty) done = true
       else {
-        // transitive merge of all tied pairs (_match_clusters)
-        var groups = matches.map { case (a, b) => Set(a, b) }
-        var merged = true
-        while (merged) {
-          merged = false
-          var i = 0
-          while (i < groups.length && !merged) {
-            var j = i + 1
-            while (j < groups.length && !merged) {
-              if ((groups(i) & groups(j)).nonEmpty) {
-                groups = groups.updated(i, groups(i) | groups(j)).patch(j, Nil, 1)
-                merged = true
-              }
-              j += 1
-            }
-            i += 1
-          }
-        }
-        for (g <- groups) {
-          val members = g.toVector.flatMap(clusters(_))
-          clusters = clusters -- g
-          clusters += (nextId -> members)
-          nextId += 1
-        }
+        val (c2, id2) = mergeGroups(matches, clusters, nextId)
+        clusters = c2
+        nextId = id2
       }
     }
     clusters.values.flatMap { members =>
@@ -160,14 +180,7 @@ object Hac {
     if (n == 0) return Map.empty
     if (n == 1) return Map(ids(0) -> ids(0))
     val d = pairwiseMatrix(n, dist)
-    def linkDist(a: Vector[Int], b: Vector[Int]): Double = {
-      val all = for (x <- a; y <- b) yield d(x)(y)
-      linkage match {
-        case "single"   => all.min
-        case "complete" => all.max
-        case "average"  => all.sum / all.length
-      }
-    }
+    val linkDist = linkDistFn(d, linkage) _
     // linspace(0, threshold, nIntervals) without the leading 0
     val intervals = (1 until nIntervals).map(i => threshold * i / (nIntervals - 1.0))
     var clusters: Map[Int, Vector[Int]] = (0 until n).map(i => i -> Vector(i)).toMap
@@ -180,29 +193,9 @@ object Hac {
         if linkDist(clusters(keys(ai)), clusters(keys(bi))) <= interval
       } yield (keys(ai), keys(bi))
       if (matches.nonEmpty) {
-        var groups = matches.toVector.map { case (a, b) => Set(a, b) }
-        var merged = true
-        while (merged) {
-          merged = false
-          var i = 0
-          while (i < groups.length && !merged) {
-            var j = i + 1
-            while (j < groups.length && !merged) {
-              if ((groups(i) & groups(j)).nonEmpty) {
-                groups = groups.updated(i, groups(i) | groups(j)).patch(j, Nil, 1)
-                merged = true
-              }
-              j += 1
-            }
-            i += 1
-          }
-        }
-        for (g <- groups) {
-          val members = g.toVector.flatMap(clusters(_))
-          clusters = clusters -- g
-          clusters += (nextId -> members)
-          nextId += 1
-        }
+        val (c2, id2) = mergeGroups(matches.toVector, clusters, nextId)
+        clusters = c2
+        nextId = id2
       }
     }
     clusters.values.flatMap { members =>

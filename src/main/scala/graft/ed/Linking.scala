@@ -42,7 +42,13 @@ object Linking {
     * k elements, so partial aggregation keeps hot keys cheap.
     */
   final class TopKContexts(k: Int) extends Aggregator[(String, Ctx), Seq[Ctx], Seq[Ctx]] {
-    private def ord(c: Ctx) = (c.conv_id, c.turn_idx, c.beg)
+    // label participates in the order: two mention rows tied on
+    // (conv_id, turn_idx, beg) but carrying different labels (possible via
+    // BRAT-sourced or other external mention tables) must be kept/dropped
+    // deterministically, and this matches the downstream
+    // array_sort(struct(conv_id, turn_idx, beg, label, ...)) whole-struct
+    // ordering (round-5 review)
+    private def ord(c: Ctx) = (c.conv_id, c.turn_idx, c.beg, c.label)
     private def trim(xs: Seq[Ctx]): Seq[Ctx] = xs.sortBy(ord).take(k)
     override def zero: Seq[Ctx] = Vector.empty
     override def reduce(b: Seq[Ctx], a: (String, Ctx)): Seq[Ctx] = trim(b :+ a._2)
@@ -73,7 +79,15 @@ object Linking {
     // the (small) context keys against the relation table, re-group.
     val ctxRows = chosen.select($"surface", explode($"contexts").as("c"))
       .select($"surface", $"c.conv_id", $"c.turn_idx", $"c.beg", $"c.label")
+    // semi-join BEFORE the aggregate: only relation rows matching one of
+    // the <=5 chosen contexts per surface survive the later join, so
+    // collect_list-ing the whole corpus-scale relation table first shuffles
+    // dead data (Catalyst cannot push the join below the aggregate —
+    // round-5 review; the scaladoc's "relations of JUST the chosen
+    // contexts" now matches the plan)
     val rels = relations
+      .join(ctxRows.select($"conv_id", $"turn_idx", $"beg".as("obj_beg")),
+        Seq("conv_id", "turn_idx", "obj_beg"), "left_semi")
       .groupBy($"conv_id", $"turn_idx", $"obj_beg")
       .agg(sort_array(collect_list(struct($"pred".as("typ"), $"subj_surface".as("string"))))
         .as("rels"))

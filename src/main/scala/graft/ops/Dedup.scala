@@ -329,7 +329,10 @@ object Dedup {
     val pairs = blocked.as("a").join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-    jaccardOf(pairs, shingles(docs, k)).filter(col("jaccard") >= threshold)
+    // shinglesRaw, NOT shingles: jaccardOf's collect_set already dedups per
+    // doc, so the corpus-wide distinct() in shingles() is a full redundant
+    // shuffle of the exploded shingle table on this path (round-5 review)
+    jaccardOf(pairs, shinglesRaw(docs, k)).filter(col("jaccard") >= threshold)
   }
 
   // --- simhash ---------------------------------------------------------------

@@ -22,12 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
-  /** Cosine similarity between two array<float> columns, in double. */
+  /** Cosine similarity between two array<float> columns, in double.
+    * Zero-norm (or empty) vectors score 0.0 by convention instead of NaN:
+    * double division never throws, and Spark sorts NaN ABOVE every number
+    * and passes `NaN >= threshold` — one all-zero embedding (empty doc,
+    * failed encoder: routine in real corpora) would otherwise rank first in
+    * every top-k list and pair as a "duplicate" of all its bucket-mates
+    * (round-5 review). The SQL oracles carry the same guard.
+    */
   def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val na = dot(a, a)
+    val nb = dot(b, b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (sqrt(na) * sqrt(nb)))
   }
 
   /** Exact top-k neighbors for each query vector (query side broadcast).
@@ -73,21 +82,27 @@ object SimilaritySearch {
     embeddings.select(col("vec_id"), col("embedding"), sigBits.as("sig"))
   }
 
-  /** Signature band rows (id, emb, band, bh) — THE banding layout, shared
-    * by [[lshTopK]] (both sides) and [[cosineDupes]] so the two families
-    * (and their SQL oracles, which reproduce this layout) can never
-    * desynchronize. `bandBits = nPlanes / nBands`; band b's hash is bits
-    * [b·bandBits, (b+1)·bandBits) of the signature.
+  /** Signature band rows (id, band, bh) — THE banding layout, shared by
+    * [[lshTopK]] (both sides) and [[cosineDupes]] so the two families (and
+    * their SQL oracles, which reproduce this layout) can never
+    * desynchronize. ID-ONLY: the embedding payload does NOT ride through
+    * the band explode, the bucket-cap window, the bucket join or the
+    * candidate dedup — at web scale that multiplied every ~3 KB embedding
+    * by nBands across three shuffles (round-5 review); candidates are
+    * generated on constant-width rows and payloads re-join ONCE per side
+    * afterwards, the same discipline as Blocking.edges and the exact shape
+    * the SQL oracles' `pairs` CTE already models. `bandBits = nPlanes /
+    * nBands`; band b's hash is bits [b·bandBits, (b+1)·bandBits).
     */
-  private def banded(df: DataFrame, idCol: String, embCol: String,
+  private def banded(df: DataFrame, idCol: String,
       nPlanes: Int, nBands: Int): DataFrame = {
     val bandBits = nPlanes / nBands
     val mask = (1L << bandBits) - 1
-    signatures(df, nPlanes).select(col("vec_id").as(idCol), col("embedding").as(embCol),
+    signatures(df, nPlanes).select(col("vec_id").as(idCol),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bh"))): _*)).as("x"))
-      .select(col(idCol), col(embCol), col("x.band").as("band"), col("x.bh").as("bh"))
+      .select(col(idCol), col("x.band").as("band"), col("x.bh").as("bh"))
   }
 
   /** [[banded]] with the corpus-side bucket cap: deterministic rank by id
@@ -95,10 +110,10 @@ object SimilaritySearch {
     * (Blocking.maxBlockSize pattern — one degenerate bucket must not go
     * quadratic).
     */
-  private def cappedBanded(df: DataFrame, idCol: String, embCol: String,
+  private def cappedBanded(df: DataFrame, idCol: String,
       nPlanes: Int, nBands: Int, maxBucket: Int): DataFrame = {
     val w = Window.partitionBy(col("band"), col("bh")).orderBy(col(idCol))
-    banded(df, idCol, embCol, nPlanes, nBands)
+    banded(df, idCol, nPlanes, nBands)
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= maxBucket).drop("rk")
   }
 
@@ -122,19 +137,27 @@ object SimilaritySearch {
       multiProbe: Boolean = true): DataFrame = {
     require(nPlanes % nBands == 0)
     val bandBits = nPlanes / nBands
-    val q0 = banded(queries, "query_id", "qe", nPlanes, nBands)
+    val q0 = banded(queries, "query_id", nPlanes, nBands)
     val q =
       if (!multiProbe) q0
-      else q0.select(col("query_id"), col("qe"), col("band"),
+      else q0.select(col("query_id"), col("band"),
         explode(array(col("bh") +: (0 until bandBits).map(i =>
           col("bh").bitwiseXOR(lit(1L << i))): _*)).as("bh"))
-    val c = cappedBanded(embeddings, "neighbor_id", "ce", nPlanes, nBands, maxBucket)
+    val c = cappedBanded(embeddings, "neighbor_id", nPlanes, nBands, maxBucket)
     val cand = q.join(c, Seq("band", "bh"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qe", "ce")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val sims = cand.select(col("query_id"), col("neighbor_id"),
-      round(cosine(col("qe"), col("ce")), 6).as("sim"))
+    // payloads re-join AFTER candidate dedup: queries broadcast, corpus via
+    // one hash join — the band explode/cap/bucket join above shuffled only
+    // (id, band, bh) rows
+    val sims = cand
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))),
+        Seq("query_id"))
+      .join(embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")), 6).as("sim"))
     val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
   }
@@ -153,15 +176,17 @@ object SimilaritySearch {
   def cosineDupes(embeddings: DataFrame, threshold: Double,
       nPlanes: Int = 16, nBands: Int = 4, maxBucket: Int = 4096): DataFrame = {
     require(nPlanes % nBands == 0)
-    val capped = cappedBanded(embeddings, "vec_id", "embedding", nPlanes, nBands, maxBucket)
-    val a = capped.select(col("vec_id").as("src"), col("embedding").as("ea"),
-      col("band"), col("bh"))
-    val b = capped.select(col("vec_id").as("dst"), col("embedding").as("eb"),
-      col("band"), col("bh"))
+    val capped = cappedBanded(embeddings, "vec_id", nPlanes, nBands, maxBucket)
+    val a = capped.select(col("vec_id").as("src"), col("band"), col("bh"))
+    val b = capped.select(col("vec_id").as("dst"), col("band"), col("bh"))
     val cand = a.join(b, Seq("band", "bh")).filter(col("src") < col("dst"))
-      .select("src", "dst", "ea", "eb")
+      .select("src", "dst")
       .dropDuplicates("src", "dst")
-    cand.select(col("src"), col("dst"), round(cosine(col("ea"), col("eb")), 6).as("sim"))
+    // payloads re-join once per side after the id-only dedup (see banded)
+    cand
+      .join(embeddings.select(col("vec_id").as("src"), col("embedding").as("ea")), Seq("src"))
+      .join(embeddings.select(col("vec_id").as("dst"), col("embedding").as("eb")), Seq("dst"))
+      .select(col("src"), col("dst"), round(cosine(col("ea"), col("eb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

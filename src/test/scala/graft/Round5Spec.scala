@@ -122,6 +122,56 @@ class Round5Spec extends AnyFunSuite {
     assert(e.getMessage.contains("regressed below committed watermark"))
   }
 
+  test("zero-norm embeddings score cosine 0.0 — never NaN-rank-first or NaN-duplicate") {
+    import spark.implicits._
+    import graft.ops.SimilaritySearch
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, vec(1, 0, 0, 0), 0),
+      (1L, vec(0.9, 0.1, 0, 0), 0),
+      (2L, vec(0, 0, 0, 0), 9) // all-zero: empty doc / failed encoder
+    ).toDF("vec_id", "embedding", "label")
+    val top = SimilaritySearch.bruteForceTopK(emb, emb.filter($"vec_id" === 0L), k = 2)
+      .orderBy("rank").collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 1L,
+      "the zero vector must not NaN-sort above the true nearest neighbor")
+    assert(top.forall(r => !r.getAs[Double]("sim").isNaN), "no NaN sims in output")
+    val dupes = SimilaritySearch.cosineDupes(emb, threshold = 0.5).collect()
+    assert(!dupes.exists(r => r.getAs[Long]("src") == 2L || r.getAs[Long]("dst") == 2L),
+      s"the zero vector must not pair as a duplicate: ${dupes.mkString(",")}")
+  }
+
+  test("HAC collects ties against the TRUE round minimum (min-then-collect)") {
+    import graft.ed.Hac
+    // pair values in sorted-key order: d(0,1)=0.5, d(0,2)=0.5-4e-10,
+    // d(1,2)=0.5-8e-10. The old single-pass appended (0,2) as a tie of the
+    // STALE 0.5, then reset matches to {(1,2)} alone — merging only {1,2}
+    // in round 1 and stopping (complete-linkage d({0},{1,2}) = 0.5 >
+    // threshold). The reference computes the minimum FIRST: ties to it are
+    // {(0,2),(1,2)} -> transitive merge of all three.
+    val d = Map((0, 1) -> 0.5, (0, 2) -> (0.5 - 4e-10), (1, 2) -> (0.5 - 8e-10))
+    def dist(i: Int, j: Int) = d((math.min(i, j), math.max(i, j)))
+    val r = Hac.cluster(IndexedSeq(10L, 20L, 30L), dist, "complete", threshold = 0.5 - 6e-10)
+    assert(r.values.toSet.size == 1,
+      s"all three items must share one cluster under min-then-collect ties: $r")
+  }
+
+  test("edgesBetween on overlapping sample sets emits no self-loops") {
+    import spark.implicits._
+    val turns = Transcripts.fixture(spark)
+    val r = Pipeline.run(spark, turns, Dicts.fixture)
+    val samples = r.samples
+    val bc = Dicts.broadcast(spark, Dicts.fixture)
+    val edges = graft.ed.EdEval.edgesBetween(samples, samples, bc, excludeSelf = true).collect()
+    assert(!edges.exists(e => e.src == e.dst),
+      s"excludeSelf must suppress self-scoring: ${edges.filter(e => e.src == e.dst).mkString(",")}")
+    // and the DEFAULT keeps the J8 semantics: identical samples across the
+    // two sets match at dist 0 (what q_j8_compare counts)
+    val withSelf = graft.ed.EdEval.edgesBetween(samples, samples, bc).collect()
+    assert(withSelf.exists(e => e.src == e.dst), "default must keep cross-set identity matches")
+    r.unpersist()
+  }
+
   test("Pipeline.releaseAll frees exactly the pipeline's persisted intermediates") {
     val turns = Transcripts.fixture(spark)
     val r = Pipeline.run(spark, turns, Dicts.fixture)
