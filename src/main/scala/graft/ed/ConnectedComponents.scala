@@ -94,14 +94,23 @@ object ConnectedComponents {
       .filter($"src" =!= $"dst")
       .distinct()
       .transform(graft.io.Reliably.checkpoint)
+    // the edge cache is DEAD once g is checkpointed (eager) — releasing it
+    // here instead of after up to 35 rounds stops the full edge set from
+    // occupying executor memory/disk the whole iteration (round-5 review)
+    if (ownPersist) edges.unpersist()
 
     var iter = 0
     while (iter < maxIter && !g.isEmpty) {
       // (1) min over closed neighborhood. g's endpoints are component ids of
       // the previous round, so the join key is "component", not "id".
       val nbrMin = g.groupBy($"src".as("component")).agg(min($"dst").as("nbr"))
+      // persisted for the round: l1 feeds the pointer-doubling join on BOTH
+      // sides, and only the exchanges below it are deduplicated by
+      // ReuseExchange — without the persist the labels⋈nbrMin join over the
+      // full vertex set executed twice per round (round-5 review)
       val l1 = labels.join(nbrMin, Seq("component"), "left")
         .select($"id", least($"component", coalesce($"nbr", $"component")).as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // (2) pointer doubling: comp := comp(comp) — components are vertex ids
       // themselves, so re-resolve through the freshly computed labels
@@ -109,6 +118,7 @@ object ConnectedComponents {
       val l2 = l1.join(byId, l1("component") === byId("pid"), "left")
         .select(l1("id"), least(l1("component"), coalesce($"pcomp", l1("component"))).as("component"))
         .transform(graft.io.Reliably.checkpoint)
+      l1.unpersist() // l2 is materialized (checkpoint is eager)
 
       // (3) contract the graph onto current component ids
       val m = l2.select($"id", $"component")
@@ -124,7 +134,6 @@ object ConnectedComponents {
       labels = l2
       iter += 1
     }
-    if (ownPersist) edges.unpersist()
     labels
   }
 
@@ -139,8 +148,16 @@ object ConnectedComponents {
   private def runOnDriverIncident(spark: org.apache.spark.sql.SparkSession,
       packedEdges: Array[Array[Long]]): DataFrame = {
     import spark.implicits._
-    val nEdges = packedEdges.iterator.map(_.length / 2).sum
-    val maxIds = math.max(2, nEdges * 2) // incident vertices ≤ 2·edges
+    val nEdges = packedEdges.iterator.map(_.length.toLong / 2).sum
+    // hard bound WELL below Int-index territory: cap = 4×maxIds must stay a
+    // positive power of two ≤ 2³⁰ (maxIds*4 wrapped negative past ~268M
+    // edges, collapsing the table to 8 slots and turning idx() into an
+    // infinite probe loop — round-5 review). The default cutoff is 5M; a
+    // caller raising driverCutoff past this bound belongs on the
+    // distributed path anyway.
+    require(nEdges <= (1L << 27),
+      s"driver union-find fast path supports <= ${1L << 27} edges, got $nEdges; use the distributed loop")
+    val maxIds = math.max(2L, nEdges * 2).toInt // incident vertices ≤ 2·edges
     // Primitive structures END TO END (round-5 review: the packed collect's
     // 16 B/edge saving was being swamped by a boxed HashMap + ArrayBuffers
     // here — boxed Long keys alone cost ~50 B each at the 5M-edge cutoff).

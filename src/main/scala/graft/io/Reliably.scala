@@ -25,12 +25,17 @@ import org.apache.spark.storage.StorageLevel
 object Reliably {
   def checkpoint(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      // persist only if the CALLER hasn't: persist() on an already-persisted
+      // df is a no-op returning the same Dataset, so unpersisting it here
+      // would silently destroy the caller's cache entry and force every
+      // other consumer of their df to recompute (round-5 review)
+      val own = df.storageLevel == StorageLevel.NONE
+      val cached = if (own) df.persist(StorageLevel.MEMORY_AND_DISK) else df
       // finally: a failed checkpoint job (transient FS fault, executor
       // loss) must not strand the persisted blocks — in the 35-round CC
       // loop a retried batch would otherwise leak up to 3 cached plans per
       // failed round (round-5 review)
       try cached.checkpoint(eager = true)
-      finally cached.unpersist()
+      finally if (own) cached.unpersist()
     } else df.localCheckpoint(eager = true)
 }

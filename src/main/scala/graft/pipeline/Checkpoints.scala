@@ -216,8 +216,22 @@ final class Checkpoints(spark: SparkSession, baseDir: String,
       }
     }
 
+  /** Stage names become directory names, SQL identifiers (bucketed stages)
+    * and hand-built lineage-JSON values — restrict to [A-Za-z0-9_] and
+    * reserve the names the layout itself uses ("metrics" would land the
+    * per-run record files inside the stage's own parquet dir: the manifest
+    * stays valid but the resumed read dies on a non-parquet footer —
+    * round-5 review).
+    */
+  private def validateStageName(name: String): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit && c < 128 || c == '_'),
+      s"stage name '$name' must match [A-Za-z0-9_]+ (it becomes a path, a SQL identifier and a JSON value)")
+    require(name != "metrics", "stage name 'metrics' is reserved for the metric record directory")
+  }
+
   /** Run-or-resume a stage. `inputs` = fingerprint of upstream state. */
   def stage(name: String, inputs: String = "")(compute: => DataFrame): DataFrame = {
+    validateStageName(name)
     if (isValid(name, inputs)) {
       spark.read.parquet(dir(name))
     } else {
@@ -269,8 +283,16 @@ final class Checkpoints(spark: SparkSession, baseDir: String,
   def stageBucketed(name: String, inputs: String, bucketCols: Seq[String],
       nBuckets: Int = 8)(compute: => DataFrame): DataFrame = {
     require(bucketCols.nonEmpty)
+    validateStageName(name)
     val table = tableName(name)
-    if (isValid(name, inputs)) {
+    // resume only when the RECORDED bucket layout matches the REQUESTED
+    // one: isValid covers inputs + files, so a retuned (bucketCols,
+    // nBuckets) against an unchanged input previously resumed the OLD
+    // layout silently and the promised Exchange-free join against the new
+    // partner never materialized (round-5 review)
+    val layoutMatches = readBucketMeta(name)
+      .exists { case (cols, n, _) => cols == bucketCols && n == nBuckets }
+    if (isValid(name, inputs) && layoutMatches) {
       if (!spark.catalog.tableExists(table)) registerBucketed(name, table)
       spark.table(table)
     } else {
@@ -379,11 +401,8 @@ object Checkpoints {
     val detected = ck.stage("detected", inputFp) {
       graft.pipeline.Pipeline.detectFlat(turns, bc).toDF()
     }
-    val mentions = detected.filter($"kind" === "m")
-      .select($"conv_id", $"turn_idx", $"mention_id", $"label", $"beg", $"end", $"surface")
-    val relations = detected.filter($"kind" === "r")
-      .select($"conv_id", $"turn_idx", $"pred", $"subj_beg", $"subj_surface", $"subj_label",
-        $"obj_beg", $"obj_surface", $"obj_label")
+    val mentions = graft.pipeline.Pipeline.mentionsView(detected).toDF()
+    val relations = graft.pipeline.Pipeline.relationsView(detected).toDF()
 
     // samples and components checkpoint BUCKETED on their join key: the
     // recurring samples⋈components canonical back-join (and any external
@@ -408,19 +427,8 @@ object Checkpoints {
     }
     ck.stage("triples", compFp + "/" + ck.hashOf("components")) {
       val canon = graft.ed.Linking.canonicalMap(samples.as[graft.core.LinkingSample], components)
-      // hint-free joins — AQE broadcasts when canon is measurably small
-      // (same rationale as Pipeline.run)
-      relations
-        .join(canon.withColumnRenamed("mention", "obj_mention")
-          .withColumnRenamed("canonical", "obj_can"),
-          col("obj_surface") === col("obj_mention"), "left")
-        .join(canon.withColumnRenamed("mention", "subj_mention")
-          .withColumnRenamed("canonical", "subj_can"),
-          col("subj_surface") === col("subj_mention"), "left")
-        .select(col("subj_surface").as("subj"), col("pred"), col("obj_surface").as("obj"),
-          col("conv_id"), col("turn_idx"),
-          coalesce(col("subj_can"), xxhash64(col("subj_surface"))).as("subj_canonical"),
-          coalesce(col("obj_can"), xxhash64(col("obj_surface"))).as("obj_canonical"))
+      // ONE back-join definition, shared with Pipeline.run
+      graft.pipeline.Pipeline.backJoinTriples(relations, canon)
     }
   }
 }

@@ -80,6 +80,56 @@ object Pipeline {
     }
   }
 
+  /** The mentions VIEW of a flat detection table — the ONE projection
+    * shared by the batch run, the checkpointed pipeline and the streaming
+    * batch loop (round-5 review found three verbatim copies: a schema or
+    * semantics change synced by hand would let the paths silently
+    * disagree).
+    */
+  def mentionsView(detDF: DataFrame): Dataset[Mention] = {
+    val spark = detDF.sparkSession
+    import spark.implicits._
+    detDF.filter($"kind" === "m")
+      .select($"conv_id", $"turn_idx", $"mention_id", $"label", $"beg", $"end", $"surface")
+      .as[Mention]
+  }
+
+  /** The relations VIEW of a flat detection table (see [[mentionsView]]). */
+  def relationsView(detDF: DataFrame): Dataset[Relation] = {
+    val spark = detDF.sparkSession
+    import spark.implicits._
+    detDF.filter($"kind" === "r")
+      .select($"conv_id", $"turn_idx", $"pred", $"subj_beg", $"subj_surface", $"subj_label",
+        $"obj_beg", $"obj_surface", $"obj_label")
+      .as[Relation]
+  }
+
+  /** J9 canonical back-join with the HASH fallback — the one definition
+    * shared by the batch and checkpointed pipelines (the streaming path
+    * intentionally uses a SURFACE fallback for oracle-verifiable output and
+    * stays separate). obj (always a main mention) gets its canonical id;
+    * subj falls back to a surface hash (attributes are not linked
+    * entities). NO broadcast hint: canon has one row per unique main
+    * surface — unbounded in corpus vocabulary, a multi-GB driver-killer at
+    * web scale. AQE still picks broadcast when the measured size is small.
+    */
+  def backJoinTriples(relations: DataFrame, canon: DataFrame): DataFrame =
+    relations
+      .join(canon.withColumnRenamed("mention", "obj_mention")
+        .withColumnRenamed("canonical", "obj_can"),
+        relations("obj_surface") === col("obj_mention"), "left")
+      .join(canon.withColumnRenamed("mention", "subj_mention")
+        .withColumnRenamed("canonical", "subj_can"),
+        relations("subj_surface") === col("subj_mention"), "left")
+      .select(
+        relations("subj_surface").as("subj"),
+        relations("pred"),
+        relations("obj_surface").as("obj"),
+        relations("conv_id"),
+        relations("turn_idx"),
+        coalesce(col("subj_can"), xxhash64(relations("subj_surface"))).as("subj_canonical"),
+        coalesce(col("obj_can"), xxhash64(relations("obj_surface"))).as("obj_canonical"))
+
   /** Fused per-turn NER + RE: one pass, zero shuffle, flat output rows. */
   def detectFlat(turns: Dataset[Turn],
       bc: org.apache.spark.broadcast.Broadcast[Dicts]): Dataset[DetectedRow] = {
@@ -124,13 +174,8 @@ object Pipeline {
     // cache removes that.
     det.count()
     val detDF = det.toDF()
-    val relations = detDF.filter($"kind" === "r")
-      .select($"conv_id", $"turn_idx", $"pred", $"subj_beg", $"subj_surface", $"subj_label",
-        $"obj_beg", $"obj_surface", $"obj_label")
-      .as[Relation]
-    val mentions = detDF.filter($"kind" === "m")
-      .select($"conv_id", $"turn_idx", $"mention_id", $"label", $"beg", $"end", $"surface")
-      .as[Mention]
+    val relations = relationsView(detDF)
+    val mentions = mentionsView(detDF)
 
     val samples = Linking.samples(mentions, relations).persist(StorageLevel.MEMORY_AND_DISK)
     samples.count()
@@ -145,27 +190,7 @@ object Pipeline {
     val components = ConnectedComponents.run(vertices, edges)
     val canon = Linking.canonicalMap(samples, components)
 
-    // J9 back-join: obj (always a main mention) gets its canonical id; subj
-    // falls back to a surface hash (attributes are not linked entities).
-    // NO broadcast hint: canon has one row per unique main surface —
-    // unbounded in corpus vocabulary, a multi-GB driver-killer at web scale.
-    // AQE still picks broadcast when the measured size is small.
-    val triples = relations
-      .join(canon.withColumnRenamed("mention", "obj_mention")
-        .withColumnRenamed("canonical", "obj_can"),
-        relations("obj_surface") === col("obj_mention"), "left")
-      .join(canon.withColumnRenamed("mention", "subj_mention")
-        .withColumnRenamed("canonical", "subj_can"),
-        relations("subj_surface") === col("subj_mention"), "left")
-      .select(
-        $"subj_surface".as("subj"),
-        $"pred",
-        $"obj_surface".as("obj"),
-        $"conv_id",
-        $"turn_idx",
-        coalesce($"subj_can", xxhash64($"subj_surface")).as("subj_canonical"),
-        coalesce($"obj_can", xxhash64($"obj_surface")).as("obj_canonical"))
-      .as[Triple]
+    val triples = backJoinTriples(relations.toDF(), canon).as[Triple]
 
     // housekeeping before registering: drop registry entries whose caches
     // are already gone (released through Result.unpersist — which also

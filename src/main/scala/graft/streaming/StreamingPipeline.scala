@@ -198,13 +198,8 @@ object StreamingPipeline {
     // table
     val det = graft.pipeline.Pipeline.detectFlat(batch, bc).persist()
     val detDF = det.toDF()
-    val relations = detDF.filter($"kind" === "r")
-      .select($"conv_id", $"turn_idx", $"pred", $"subj_beg", $"subj_surface", $"subj_label",
-        $"obj_beg", $"obj_surface", $"obj_label")
-      .as[Relation]
-    val mentions = detDF.filter($"kind" === "m")
-      .select($"conv_id", $"turn_idx", $"mention_id", $"label", $"beg", $"end", $"surface")
-      .as[Mention]
+    val relations = graft.pipeline.Pipeline.relationsView(detDF)
+    val mentions = graft.pipeline.Pipeline.mentionsView(detDF)
     // NOT persisted: its single consumer is the anti-join right below —
     // freshNew (persisted + counted) is what every later stage reuses
     val newSamples = Linking.samples(mentions, relations)

@@ -61,6 +61,29 @@ class Round5Spec extends AnyFunSuite {
     assert(Seq("old1", "old2", "fresh").forall(n => jsonl.contains("\"stage\":\"" + n + "\"")))
   }
 
+  test("Reliably.checkpoint leaves a caller-persisted dataframe cached") {
+    import spark.implicits._
+    val ckDir = Files.createTempDirectory("graft-rel").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      val df = Seq(1, 2, 3).toDF("v").persist()
+      df.count()
+      graft.io.Reliably.checkpoint(df).count()
+      assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "the helper must not unpersist a cache it does not own (round-5 review)")
+      df.unpersist()
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
+  test("reserved/unsafe stage names are rejected") {
+    val ck = new Checkpoints(spark, Files.createTempDirectory("graft-names").toString)
+    import spark.implicits._
+    intercept[IllegalArgumentException](ck.stage("metrics") { Seq(1).toDF("v") })
+    intercept[IllegalArgumentException](ck.stage("bad-name") { Seq(1).toDF("v") })
+    intercept[IllegalArgumentException](ck.stage("") { Seq(1).toDF("v") })
+    ck.stage("ok_name_1") { Seq(1).toDF("v") } // sane names still work
+  }
+
   test("vacuum repairs a trailing pointer before deleting what it points at") {
     import spark.implicits._
     import graft.io.TableIO
