@@ -55,6 +55,15 @@ object Lemma {
       w.dropRight(1) + "ies"
     else w + "s"
 
+  /** Null-returning table view: `Map.getOrElse` allocates an Option per
+    * call and [[of]] runs once per token of the corpus (guide §1.2).
+    */
+  private val TableJ: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](Table.size * 2)
+    Table.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   /** Lemma of a token: closed-table lookup on the lowercase form, identity
     * (lowercased) otherwise. Deterministic, total. Skips the lowercase COPY
     * when the token has no uppercase chars (the overwhelmingly common case
@@ -70,6 +79,7 @@ object Lemma {
       i += 1
     }
     val lower = if (hasUpper) token.toLowerCase(java.util.Locale.ROOT) else token
-    Table.getOrElse(lower, lower)
+    val v = TableJ.get(lower)
+    if (v == null) lower else v
   }
 }

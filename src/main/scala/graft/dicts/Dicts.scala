@@ -50,6 +50,41 @@ final case class Dicts(
     m.toMap
   }
 
+  /** Null-returning views of [[inverted]] / [[firstTokenMaxLen]] for the
+    * detector's candidate loop: the immutable-Map `getOrElse` path allocates
+    * an Option per lookup and the loop does ~6 lookups per token of the
+    * corpus (guide §1.2 "per-task work"). @transient lazy — rebuilt once per
+    * executor after broadcast deserialization, never shipped.
+    */
+  @transient lazy val invertedJ: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]](inverted.size * 2)
+    inverted.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  @transient lazy val firstTokenMaxLenJ: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](firstTokenMaxLen.size * 2)
+    firstTokenMaxLen.foreach { case (k, v) => m.put(k, Integer.valueOf(v)) }
+    m
+  }
+
+  /** First tokens of license surfaces + the max license token count: lets
+    * the License scan skip the per-position join-and-look-up unless the
+    * position can possibly start a license (the old loop built a joined
+    * string for every (position, len ≤ 3) of every turn).
+    */
+  @transient lazy val licenseFirst: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](licenses.size * 2)
+    licenses.foreach { l =>
+      val sp = l.indexOf(' ')
+      s.add(if (sp < 0) l else l.substring(0, sp))
+    }
+    s
+  }
+
+  @transient lazy val licenseMaxTokens: Int =
+    if (licenses.isEmpty) 0 else licenses.iterator.map(_.count(_ == ' ') + 1).max
+
   /** J5 two-hop alt-name expansion (`feature_calculator.py:368-382`):
     * the surface itself, plus unique_mapping[s], or else for each canonical
     * in label_mapping[s] the canonical and its unique_mapping entries.

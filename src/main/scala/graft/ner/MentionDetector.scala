@@ -36,10 +36,28 @@ object MentionDetector {
   private[ner] val OpenBrackets = Set("(", "[", "{")
   private[ner] val CloseBrackets = Set(")", "]", "}")
 
-  final private case class SoftSpan(
+  final private[graft] case class SoftSpan(
       begTok: Int, endTok: Int, // token range, exclusive end
       softType: String,
       mentionType: String)
+
+  // hoisted trigger vocabularies (round-6: these literals used to be
+  // re-allocated inside the per-span mention-type closure — guide §1.2)
+  private val CreationLems = Set("develop", "implement", "create", "write")
+  private val DepositionLems = Set("deposit", "release", "download", "available")
+
+  /** Interned combined labels: softType × mentionType is a 4×4 space, and
+    * building s"${soft}_$mention" per span per turn was measurable garbage
+    * on the 10¹²-turn path. Falls back to concatenation for any type pair
+    * outside the closed sets (none exist today).
+    */
+  private val LabelTable: Map[String, Map[String, String]] = {
+    val ments = Seq("Usage", "Creation", "Deposition", "Mention")
+    MainSoftTypes.map(s => s -> ments.map(m => m -> s"${s}_$m").toMap).toMap
+  }
+
+  private def labelFor(soft: String, mention: String): String =
+    LabelTable.get(soft).flatMap(_.get(mention)).getOrElse(s"${soft}_$mention")
 
   def versionLike(t: String): Boolean =
     TokenClass.floatNum(t) || TokenClass.versionLikeNum(t) ||
@@ -71,6 +89,12 @@ object MentionDetector {
     val lemmas = new Array[String](n)
     p = 0
     var k = 0
+    // hasTrigger: every F15 family is anchored on a "use", "with" or
+    // "software" lemma; when none of the three occurs in the turn, every
+    // family is off for every span and the flag arrays below are never even
+    // allocated (the overwhelmingly common case on word-salad corpora —
+    // detected for free during the lemma fill).
+    var hasTrigger = false
     while (p < tlen) {
       while (p < tlen && text.charAt(p).isWhitespace) p += 1
       if (p < tlen) {
@@ -79,51 +103,82 @@ object MentionDetector {
         begs(k) = b; ends(k) = p
         val s = text.substring(b, p)
         surfaces(k) = s
-        lemmas(k) = Lemma.of(s)
+        val l = Lemma.of(s)
+        lemmas(k) = l
+        if (l == "use" || l == "with" || l == "software") hasTrigger = true
         k += 1
       }
     }
 
     // --- F15 trigger rules over lemma context -------------------------------
-    def leftLem(i: Int, k: Int): IndexedSeq[String] = lemmas.slice(math.max(i - k, 0), i)
-    def rightLem(i: Int, k: Int): IndexedSeq[String] = lemmas.slice(i, math.min(i + k, n))
-    /** Distinct trigger-rule FAMILIES firing for span [b,e). The reference
-      * counts each pan rule separately as a feature (A4); for the accept
-      * decision the nested left-context rules (pan_top_2 ⊂ 3 ⊂ 4) collapse
-      * into one family so they cannot self-corroborate.
-      *
-      * All families depend only on b (left context) or e (right context), so
-      * they precompute in O(n) and panCount is O(1) per span — the candidate
-      * loop visits 6n spans, so this must not allocate.
-      */
-    def lem(i: Int): String = lemmas(i)
-    val leftUse = Array.tabulate(n + 1)(b => b >= 1 && lem(b - 1) == "use")
-    val famB = Array.tabulate(n + 1) { b =>
-      (b >= 2 && lem(b - 2) == "perform" && lem(b - 1) == "use") || // pan_top_2
-        (b >= 3 && lem(b - 3) == "be" && lem(b - 2) == "perform" && lem(b - 1) == "use") || // pan_top_3
-        (b >= 4 && lem(b - 4) == "analysis" && lem(b - 3) == "be" &&
-          lem(b - 2) == "perform" && lem(b - 1) == "use") // pan_top_4
+    // Distinct trigger-rule FAMILIES firing for span [b,e). The reference
+    // counts each pan rule separately as a feature (A4); for the accept
+    // decision the nested left-context rules (pan_top_2 ⊂ 3 ⊂ 4) collapse
+    // into one family so they cannot self-corroborate — and because
+    // pan_top_3/4 each imply pan_top_2, the family test reduces to
+    // lemma(b−2)=="perform" ∧ lemma(b−1)=="use".
+    //
+    // All families depend only on b (left context) or e (right context), so
+    // they precompute in O(n) as TWO byte-flag arrays (round 6: this was
+    // seven boolean arrays allocated per turn) and panCount is O(1) per
+    // span — the candidate loop visits 6n spans, so this must not allocate.
+    // left flags at boundary b: 1 = use@b−1 (pan_top_1 anchor),
+    // 2 = pan_top_2/3/4 family, 4 = pan_5, 8 = pan_6;
+    // right flags at boundary e: 1 = software@e (pan_top_1 anchor),
+    // 2 = pan_7, 4 = pan_8.
+    val leftF: Array[Byte] = if (!hasTrigger) null else {
+      val a = new Array[Byte](n + 1)
+      var b = 1
+      while (b <= n) {
+        val l1 = lemmas(b - 1)
+        var f = 0
+        if (l1 == "use") {
+          f |= 1
+          if (b >= 2) {
+            val l2 = lemmas(b - 2)
+            if (l2 == "perform") f |= 2
+            else if (l2 == "analyze" || l2 == "analyse") f |= 4
+          }
+        } else if (l1 == "with") {
+          if (b >= 4 && lemmas(b - 2) == "perform" && lemmas(b - 3) == "be" &&
+            lemmas(b - 4) == "analysis") f |= 8
+        }
+        a(b) = f.toByte
+        b += 1
+      }
+      a
     }
-    val pan5 = Array.tabulate(n + 1)(b =>
-      b >= 2 && (lem(b - 2) == "analyze" || lem(b - 2) == "analyse") && lem(b - 1) == "use")
-    val pan6 = Array.tabulate(n + 1)(b =>
-      b >= 4 && lem(b - 4) == "analysis" && lem(b - 3) == "be" &&
-        lem(b - 2) == "perform" && lem(b - 1) == "with")
-    val rightSoftware = Array.tabulate(n + 1)(e => e < n && lem(e) == "software")
-    val pan7 = Array.tabulate(n + 1)(e =>
-      e + 1 < n && lem(e) == "statistical" && lem(e + 1) == "software")
-    val pan8 = Array.tabulate(n + 1)(e =>
-      e + 2 < n && lem(e) == "software" && lem(e + 1) == "be" && lem(e + 2) == "use")
-    def panCount(b: Int, e: Int): Int = {
-      var c = 0
-      if (leftUse(b) && rightSoftware(e)) c += 1 // pan_top_1
-      if (famB(b)) c += 1
-      if (pan5(b)) c += 1
-      if (pan6(b)) c += 1
-      if (pan7(e)) c += 1
-      if (pan8(e)) c += 1
-      c
+    val rightF: Array[Byte] = if (!hasTrigger) null else {
+      val a = new Array[Byte](n + 1)
+      var e = 0
+      while (e < n) {
+        val le = lemmas(e)
+        var f = 0
+        if (le == "software") {
+          f |= 1
+          if (e + 2 < n && lemmas(e + 1) == "be" && lemmas(e + 2) == "use") f |= 4
+        } else if (le == "statistical") {
+          if (e + 1 < n && lemmas(e + 1) == "software") f |= 2
+        }
+        a(e) = f.toByte
+        e += 1
+      }
+      a
     }
+    def panCount(b: Int, e: Int): Int =
+      if (!hasTrigger) 0
+      else {
+        val lf = leftF(b)
+        val rf = rightF(e)
+        var c = 0
+        if ((lf & 1) != 0 && (rf & 1) != 0) c += 1 // pan_top_1
+        if ((lf & 2) != 0) c += 1
+        if ((lf & 4) != 0) c += 1
+        if ((lf & 8) != 0) c += 1
+        if ((rf & 2) != 0) c += 1
+        if ((rf & 4) != 0) c += 1
+        c
+      }
     def inBrackets(b: Int, e: Int): Boolean =
       b > 0 && e < n && OpenBrackets(surfaces(b - 1)) && CloseBrackets(surfaces(e))
     def developerRule(b: Int, e: Int): Boolean =
@@ -136,6 +191,8 @@ object MentionDetector {
     // that can possibly match — O(1) per span otherwise.
     val accepted = Vector.newBuilder[(Int, Int, Array[Int], Int, Boolean)] // (b, e, srcIds, pan, strong)
     val developerSpans = Vector.newBuilder[(Int, Int)]
+    val inv = d.invertedJ // null-returning views — no Option per lookup
+    val ftl = d.firstTokenMaxLenJ
     var len = 1
     while (len <= 6) {
       var b = 0
@@ -143,12 +200,22 @@ object MentionDetector {
         val e = b + len
         if ((len > 1 || surfaces(b).length != 1) && developerRule(b, e)) developerSpans += ((b, e))
         val srcIds: Array[Int] =
-          if (len == 1) d.inverted.getOrElse(surfaces(b), null)
-          else if (d.firstTokenMaxLen.getOrElse(surfaces(b), 0) >= len)
-            d.inverted.getOrElse(surfaces.slice(b, e).mkString(" "), null)
-          else null
+          if (len == 1) inv.get(surfaces(b))
+          else {
+            val fl = ftl.get(surfaces(b))
+            if (fl != null && fl.intValue() >= len)
+              inv.get(surfaces.slice(b, e).mkString(" "))
+            else null
+          }
         val pan = panCount(b, e)
-        val strongHits = if (srcIds == null) 0 else srcIds.count(d.strongSources)
+        var strongHits = 0
+        if (srcIds != null) {
+          var si = 0
+          while (si < srcIds.length) {
+            if (d.strongSources(srcIds(si))) strongHits += 1
+            si += 1
+          }
+        }
         val weakHit = srcIds != null && srcIds.nonEmpty
         // F12 word-shape evidence (word_rules.py:1-23): an out-of-gazetteer
         // CamelCase / all-caps token counts like a weak-dictionary hit — it
@@ -179,12 +246,43 @@ object MentionDetector {
         val mentionType =
           if (pan >= 1) "Usage"
           else {
-            val ctx = leftLem(b, 4) ++ rightLem(e, 4)
-            if (ctx.exists(Set("develop", "implement", "create", "write"))) "Creation"
-            else if (ctx.exists(Set("deposit", "release", "download", "available"))) "Deposition"
-            else if (leftLem(b, 4).contains("use") || rightLem(e, 4).contains("use") ||
-              leftLem(b, 4).contains("run") || leftLem(b, 4).contains("compute")) "Usage"
-            else "Mention"
+            // ±4-lemma context windows, scanned in place (the old slices
+            // allocated two IndexedSeqs + one concat per accepted span)
+            val lLo = math.max(b - 4, 0)
+            val rHi = math.min(e + 4, n)
+            var creation = false
+            var deposition = false
+            var i = lLo
+            while (i < b) {
+              val l = lemmas(i)
+              if (CreationLems(l)) creation = true
+              if (DepositionLems(l)) deposition = true
+              i += 1
+            }
+            i = e
+            while (i < rHi) {
+              val l = lemmas(i)
+              if (CreationLems(l)) creation = true
+              if (DepositionLems(l)) deposition = true
+              i += 1
+            }
+            if (creation) "Creation"
+            else if (deposition) "Deposition"
+            else {
+              var usage = false
+              i = lLo
+              while (i < b && !usage) {
+                val l = lemmas(i)
+                usage = l == "use" || l == "run" || l == "compute"
+                i += 1
+              }
+              i = e
+              while (i < rHi && !usage) {
+                usage = lemmas(i) == "use"
+                i += 1
+              }
+              if (usage) "Usage" else "Mention"
+            }
           }
         SoftSpan(b, e, softType, mentionType)
       }
@@ -211,22 +309,22 @@ object MentionDetector {
       !isDemotable
     }
 
-    // --- three BIO layers → fix → merge → decode (W1-W3 in production) ------
-    val swTags = Array.fill(n)("O")
-    val mtTags = Array.fill(n)("O")
-    val stTags = Array.fill(n)("O")
-    for (s <- softSpans; i <- s.begTok until s.endTok) {
-      val p = if (i == s.begTok) "B-" else "I-"
-      swTags(i) = p + "Application"
-      mtTags(i) = p + s.mentionType
-      stTags(i) = p + s.softType
+    // --- three BIO layers → fix → merge → decode (W1-W3) --------------------
+    // The spans reaching this point are DISJOINT and SORTED (overlap
+    // resolution + sortBy above), and on such inputs the tag → fix → merge →
+    // decode round trip is the identity mapping onto the combined
+    // `{soft}_{mention}` labels: fix never repairs a well-formed B-/I- run,
+    // merge's per-segment majority vote is over a constant sequence, and
+    // decode re-emits exactly the input spans. The direct construction below
+    // (interned labels, no tag arrays) is therefore output-identical —
+    // property-pinned against [[mergeViaBio]] (the literal W2/W3 composition)
+    // in Round6Spec; round 6 removed ~10 array/string allocations per turn
+    // from the hottest loop of the engine this way (guide §1.2).
+    val softwareMentions = softSpans.map { s =>
+      val beg = begs(s.begTok)
+      val end = ends(s.endTok - 1)
+      Span(labelFor(s.softType, s.mentionType), beg, end, text.substring(beg, end))
     }
-    import scala.collection.immutable.ArraySeq.unsafeWrapArray
-    val merged = Bio.merge(
-      Bio.fix(unsafeWrapArray(swTags), software = true),
-      Bio.fix(unsafeWrapArray(mtTags), software = false),
-      Bio.fix(unsafeWrapArray(stTags), software = false))
-    val softwareMentions = Bio.decode(text, begs, ends, merged.toIndexedSeq)
 
     // --- attribute spans over uncovered tokens ------------------------------
     val attrs = Vector.newBuilder[Span]
@@ -243,12 +341,23 @@ object MentionDetector {
          if (b until e).forall(free)) {
       claim(b, e); attrs += spanOf(b, e, "Developer")
     }
-    // License: exact dictionary surfaces, 1..3 tokens, longest first
-    for (l <- 3 to 1 by -1; b <- 0 to n - l) {
-      val e = b + l
-      if ((b until e).forall(free) && d.licenses(surfaces.slice(b, e).mkString(" "))) {
-        claim(b, e); attrs += spanOf(b, e, "License")
+    // License: exact dictionary surfaces, 1..3 tokens, longest first.
+    // Gated on the first token (licenseFirst) so the joined-string build
+    // only happens at positions that can possibly start a license — the
+    // old loop built ~3n throwaway strings per turn unconditionally — and
+    // lengths no license has (licenseMaxTokens) are never enumerated.
+    var ll = math.min(3, d.licenseMaxTokens)
+    while (ll >= 1) {
+      var lb = 0
+      while (lb + ll <= n) {
+        val le = lb + ll
+        if (d.licenseFirst.contains(surfaces(lb)) && (lb until le).forall(free)) {
+          val surf = if (ll == 1) surfaces(lb) else surfaces.slice(lb, le).mkString(" ")
+          if (d.licenses(surf)) { claim(lb, le); attrs += spanOf(lb, le, "License") }
+        }
+        lb += 1
       }
+      ll -= 1
     }
     var i = 0
     while (i < n) {
@@ -280,8 +389,9 @@ object MentionDetector {
       i += 1
     }
     // Abbreviation: free all-caps token equal to a software span's acronym or
-    // a DBpedia alt name of its surface
-    val softSurfaces = softSpans.map(s => (surfaces.slice(s.begTok, s.endTok),
+    // a DBpedia alt name of its surface. lazy: the token-slice/substring
+    // build only happens when the turn actually has an all-caps candidate
+    lazy val softSurfaces = softSpans.map(s => (surfaces.slice(s.begTok, s.endTok),
       text.substring(begs(s.begTok), ends(s.endTok - 1))))
     i = 0
     while (i < n) {
@@ -298,6 +408,44 @@ object MentionDetector {
 
     (softwareMentions ++ attrs.result()).sortBy(_.beg)
   }
+
+  /** The literal W1-W3 composition (three BIO tag layers → fix → merge →
+    * decode) over a disjoint sorted span set — the exact path [[detect]]
+    * routed its software mentions through until round 6, kept verbatim as
+    * the parity oracle for the allocation-free direct construction now in
+    * [[detect]] (Round6Spec property: direct == viaBio on arbitrary
+    * disjoint sorted span sets).
+    */
+  private[graft] def mergeViaBio(text: String, begs: Array[Int], ends: Array[Int],
+      softSpans: Vector[SoftSpan]): Vector[Span] = {
+    val n = begs.length
+    val swTags = Array.fill(n)("O")
+    val mtTags = Array.fill(n)("O")
+    val stTags = Array.fill(n)("O")
+    for (s <- softSpans; i <- s.begTok until s.endTok) {
+      val p = if (i == s.begTok) "B-" else "I-"
+      swTags(i) = p + "Application"
+      mtTags(i) = p + s.mentionType
+      stTags(i) = p + s.softType
+    }
+    import scala.collection.immutable.ArraySeq.unsafeWrapArray
+    val merged = Bio.merge(
+      Bio.fix(unsafeWrapArray(swTags), software = true),
+      Bio.fix(unsafeWrapArray(mtTags), software = false),
+      Bio.fix(unsafeWrapArray(stTags), software = false))
+    Bio.decode(text, begs, ends, merged.toIndexedSeq)
+  }
+
+  /** The direct-construction twin of [[mergeViaBio]] (what [[detect]] now
+    * inlines), exposed for the Round6Spec parity property.
+    */
+  private[graft] def mergeDirect(text: String, begs: Array[Int], ends: Array[Int],
+      softSpans: Vector[SoftSpan]): Vector[Span] =
+    softSpans.map { s =>
+      val beg = begs(s.begTok)
+      val end = ends(s.endTok - 1)
+      Span(labelFor(s.softType, s.mentionType), beg, end, text.substring(beg, end))
+    }
 
   /** Spark wrapper: turns → mentions, batched per partition with the
     * broadcast dictionary bundle (north_star: "mapPartitions-batched

@@ -39,17 +39,96 @@ object SimilaritySearch {
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (sqrt(na) * sqrt(nb)))
   }
 
-  /** Exact top-k neighbors for each query vector (query side broadcast).
-    * Output: (query_id, neighbor_id, sim, rank) with rank 1..k by
-    * (sim desc, neighbor_id asc) — fully deterministic.
+  /** Scalar twin of [[cosine]]: same IEEE operations in the same order
+    * (left-to-right double sums = the `aggregate` fold; zero-norm → 0.0),
+    * for the fused kernels below. Assumes equal-length vectors (the
+    * embedding-table contract).
+    */
+  private def cosineScalar(a: Array[Float], b: Array[Float]): Double = {
+    var na = 0.0
+    var nb = 0.0
+    var dot = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      na += x * x
+      nb += y * y
+      dot += x * y
+      i += 1
+    }
+    // self-dots run over the full vector like dot(a, a) does
+    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+    i = n
+    while (i < b.length) { val y = b(i).toDouble; nb += y * y; i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Catalyst `round(_, scale)` for doubles, verbatim (HALF_UP over
+    * BigDecimal.valueOf; NaN/Infinity pass through).
+    */
+  private def roundHalfUp(v: Double, scale: Int): Double =
+    if (v.isNaN || v.isInfinite) v
+    else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Per-query bounded top-k accumulator ordered by (sim desc, id asc). */
+  private final class TopKAcc(k: Int) {
+    private val sims = new Array[Double](k)
+    private val ids = new Array[Long](k)
+    private var n = 0
+    def offer(s: Double, id: Long): Unit = {
+      if (n == k && (s < sims(n - 1) || (s == sims(n - 1) && id > ids(n - 1)))) return
+      var i = n
+      if (n < k) n += 1
+      while (i > 0 && (sims(i - 1) < s || (sims(i - 1) == s && ids(i - 1) > id))) {
+        if (i < k) { sims(i) = sims(i - 1); ids(i) = ids(i - 1) }
+        i -= 1
+      }
+      if (i < k) { sims(i) = s; ids(i) = id }
+    }
+    def result(queryId: Long): Iterator[(Long, Long, Double)] =
+      (0 until n).iterator.map(i => (queryId, ids(i), sims(i)))
+  }
+
+  /** Exact top-k neighbors for each query vector. Output: (query_id,
+    * neighbor_id, sim, rank) with rank 1..k by (sim desc, neighbor_id asc)
+    * — fully deterministic.
+    *
+    * Round-6 shape: the query set (small by contract — it was already
+    * broadcast before) is collected once, and ONE `mapPartitions` pass over
+    * the corpus computes the cosines in primitive loops AND keeps only the
+    * per-partition top-k per query — the window's input shrinks from
+    * |corpus|×|queries| rows to ≤ k·|queries| per task (guide §2.3
+    * "aggregate before you shuffle"), and the per-pair cost drops from
+    * three codegen'd `aggregate(zip_with(...))` array walks to one fused
+    * loop. Values are bit-identical to the declarative form (same IEEE sum
+    * order, same HALF_UP rounding; parity-pinned in Round6Spec).
     */
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
       roundTo: Int = 6): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
-    val c = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val sims = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qe"), col("ce")), roundTo).as("sim"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q: Array[(Long, Array[Float])] =
+      queries.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+    val qb = spark.sparkContext.broadcast(q)
+    val sims = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qb.value
+        val acc = Array.fill(qs.length)(new TopKAcc(k))
+        it.foreach { case (nid, ce) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qe) = qs(qi)
+            if (qid != nid) acc(qi).offer(roundHalfUp(cosineScalar(qe, ce), roundTo), nid)
+            qi += 1
+          }
+        }
+        acc.iterator.zipWithIndex.flatMap { case (a, qi) => a.result(qs(qi)._1) }
+      }
+      .toDF("query_id", "neighbor_id", "sim")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -70,6 +149,10 @@ object SimilaritySearch {
     * Σ_i floor(v_i · c(p,i)) — exact integer arithmetic after the per-term
     * floor (IEEE multiply + floor is deterministic; integer sum is
     * order-independent).
+    *
+    * Declarative form — kept as the semantic definition (it is what the SQL
+    * oracles mirror) and as the parity oracle for the fused [[sigRows]]
+    * kernel the hot paths use.
     */
   def signatures(embeddings: DataFrame, nPlanes: Int = 16): DataFrame = {
     val sigBits = (0 until nPlanes).map { p =>
@@ -80,6 +163,62 @@ object SimilaritySearch {
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     embeddings.select(col("vec_id"), col("embedding"), sigBits.as("sig"))
+  }
+
+  /** Scalar twin of [[planeComponent]]: c(p, i) ∈ [−2^30, 2^30) from the
+    * same portable Hash61 of "p:i".
+    */
+  private def planeConst(p: Int, i: Int): Long =
+    graft.core.Hash61.hash(s"$p:$i") % 2147483648L - 1073741824L
+
+  /** Fused signature kernel: (id, sig) in ONE `mapPartitions` pass.
+    * Bit-identical to [[signatures]] (parity-pinned in Round6Spec) — same
+    * float→double product, per-term floor, exact long sum, sign bit — but
+    * the plane constants c(p, i) are computed ONCE PER TASK instead of
+    * hashing the string "p:i" once per (row, plane, dimension): the
+    * declarative form evaluated nPlanes × dim Hash61 string hashes per row
+    * (≈1,500 per row at dim 96), which dominated every LSH-family query
+    * (guide §1.2 — this is the expression-level hot spot, not the shuffle).
+    */
+  private[graft] def sigRows(df: DataFrame, idCol: String, nPlanes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        // per-task constant table, grown lazily to the max dimension seen
+        var consts: Array[Array[Long]] = Array.fill(nPlanes)(Array.emptyLongArray)
+        var dimDone = 0
+        def ensure(dim: Int): Unit = if (dim > dimDone) {
+          var p = 0
+          while (p < nPlanes) {
+            val a = java.util.Arrays.copyOf(consts(p), dim)
+            var i = dimDone
+            while (i < dim) { a(i) = planeConst(p, i); i += 1 }
+            consts(p) = a
+            p += 1
+          }
+          dimDone = dim
+        }
+        it.map { case (id, v) =>
+          var sig = 0L
+          if (v != null && v.length > 0) {
+            ensure(v.length)
+            var p = 0
+            while (p < nPlanes) {
+              val cp = consts(p)
+              var acc = 0L
+              var i = 0
+              while (i < v.length) {
+                acc += math.floor(v(i).toDouble * cp(i)).toLong
+                i += 1
+              }
+              if (acc > 0) sig |= 1L << p
+              p += 1
+            }
+          }
+          (id, sig)
+        }
+      }.toDF(idCol, "sig")
   }
 
   /** Signature band rows (id, band, bh) — THE banding layout, shared by
@@ -98,7 +237,7 @@ object SimilaritySearch {
       nPlanes: Int, nBands: Int): DataFrame = {
     val bandBits = nPlanes / nBands
     val mask = (1L << bandBits) - 1
-    signatures(df, nPlanes).select(col("vec_id").as(idCol),
+    sigRows(df, idCol, nPlanes).select(col(idCol),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bh"))): _*)).as("x"))

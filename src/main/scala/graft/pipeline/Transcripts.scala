@@ -47,11 +47,11 @@ object Transcripts {
     */
   def synthetic(spark: SparkSession, nConvs: Int, turnsPerConv: Int, seed: Long = 42L): Dataset[Turn] = {
     import spark.implicits._
-    val software = Vector("Python", "SPSS", "Stata", "MATLAB", "Excel", "SAS",
+    val software = Array("Python", "SPSS", "Stata", "MATLAB", "Excel", "SAS",
       "GraphPad Prism", "EEGLAB", "ImageJ", "FreeSurfer", "scikit-learn", "numpy")
-    // zipf-ish cumulative weights ~ 1/rank
+    // zipf-ish cumulative weights ~ 1/rank (same arithmetic as rounds 1-5)
     val weights = software.indices.map(i => 1.0 / (i + 1))
-    val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / weights.sum)
+    val cum: Array[Double] = weights.scanLeft(0.0)(_ + _).tail.map(_ / weights.sum).toArray
     val templates = Vector(
       (s: String) => s"All analyses were performed using $s software [ 7 ] .",
       (s: String) => s"Data were processed with $s version 2.1 for the main cohort .",
@@ -59,14 +59,26 @@ object Transcripts {
       (s: String) => s"Results were checked in $s ( IBM Corp. ) afterwards .",
       (s: String) => s"No software was mentioned in this turn at all .",
       (s: String) => s"$s was used for statistical analysis of the cohort .")
-    spark.range(nConvs.toLong * turnsPerConv).mapPartitions { it =>
+    val total = nConvs.toLong * turnsPerConv
+    // 4 partitions per core (guide §2.6 stragglers): rows are a pure
+    // function of id, so any partitioning yields identical data, and finer
+    // tasks let the scheduler route around steal-slowed cores on this
+    // shared host instead of waiting on cores-many monolithic tasks.
+    // Scale-adaptive (derived from the session's parallelism, never a
+    // constant), floored so tiny test corpora keep ≥1 row per partition.
+    val slices = math.max(1, spark.sparkContext.defaultParallelism * 4)
+    spark.range(0, total, 1, slices).mapPartitions { it =>
       it.map { id =>
         val conv = id / turnsPerConv
         val turn = (id % turnsPerConv).toInt
         var x = id * 0x9E3779B97F4A7C15L + seed
         def next(): Long = { x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 27; x *= 0x94D049BB133111EBL; x ^= x >>> 31; x }
         val u = (next() >>> 11).toDouble / (1L << 53).toDouble
-        val soft = software(cum.indexWhere(u <= _) max 0)
+        // first index with u <= cum(i), else 0 — identical to the old
+        // `cum.indexWhere(u <= _) max 0`, without the boxed closure scan
+        var si = 0
+        while (si < cum.length && !(u <= cum(si))) si += 1
+        val soft = software(if (si < cum.length) si else 0)
         val tpl = templates(((next() >>> 8) % templates.length).toInt)
         val role = turn % 3 match { case 0 => "user"; case 1 => "assistant"; case _ => "tool" }
         Turn(s"conv$conv", turn, role, tpl(soft), if (role == "tool") "search" else null, ts(id))

@@ -53,7 +53,18 @@ object RelationExtractor {
   /** Pure per-turn classification over decoded spans (sorted by beg — O4). */
   def classify(text: String, spans: Vector[Span]): Vector[(Span, String, Span)] = {
     if (spans.length < MinMentions) return Vector.empty
-    val sorted = spans.sortBy(_.beg)
+    // detect() already emits spans sorted by beg — skip the re-sort (a
+    // stable sort of a sorted vector is the identity) unless the caller
+    // passed an unsorted set (BRAT-sourced paths)
+    val sorted = {
+      var i = 1
+      var isSorted = true
+      while (isSorted && i < spans.length) {
+        isSorted = spans(i - 1).beg <= spans(i).beg
+        i += 1
+      }
+      if (isSorted) spans else spans.sortBy(_.beg)
+    }
     val mains = sorted.filter(s => isMain(s.typ))
     if (mains.isEmpty) return Vector.empty
     // tokenization only needed for the PlugIn connective check — lazy so the

@@ -1,0 +1,164 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ner.MentionDetector
+import graft.ops.SimilaritySearch
+
+/** Round-6 optimization parity pins: every hot-path rewrite in this round
+  * keeps a declarative / literal twin, and these properties hold the two
+  * bit-identical so a future edit cannot silently fork them.
+  */
+class Round6Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // --- detect(): direct span construction ≡ BIO fix→merge→decode ----------
+
+  private val softTypes =
+    Gen.oneOf("Application", "PlugIn", "ProgrammingEnvironment", "OperatingSystem")
+  private val mentionTypes = Gen.oneOf("Usage", "Creation", "Deposition", "Mention")
+
+  test("direct mention construction ≡ W1-W3 BIO round trip on disjoint sorted spans") {
+    val genCase = for {
+      n <- Gen.choose(1, 14)
+      // random disjoint sorted token spans: walk left to right, maybe open
+      // a span of length 1..3 at each position
+      spans <- {
+        def walk(pos: Int): Gen[List[(Int, Int)]] =
+          if (pos >= n) Gen.const(Nil)
+          else Gen.frequency(
+            3 -> walk(pos + 1),
+            2 -> (for {
+              len <- Gen.choose(1, math.min(3, n - pos))
+              rest <- walk(pos + len)
+            } yield (pos, pos + len) :: rest))
+        walk(0)
+      }
+      typed <- Gen.sequence[List[(Int, Int, String, String)], (Int, Int, String, String)](
+        spans.map { case (b, e) =>
+          for { s <- softTypes; m <- mentionTypes } yield (b, e, s, m)
+        })
+    } yield (n, typed)
+
+    check(Prop.forAll(genCase) { case (n, typed) =>
+      // synthetic token geometry: token i = chars [2i, 2i+1)
+      val begs = Array.tabulate(n)(i => 2 * i)
+      val ends = Array.tabulate(n)(i => 2 * i + 1)
+      val text = (0 until n).map(i => ('a' + i % 26).toChar).mkString(" ")
+      val spans = typed.map { case (b, e, s, m) => MentionDetector.SoftSpan(b, e, s, m) }.toVector
+      val direct = MentionDetector.mergeDirect(text, begs, ends, spans)
+      val viaBio = MentionDetector.mergeViaBio(text, begs, ends, spans)
+      direct == viaBio
+    })
+  }
+
+  // --- TopKContexts: bounded insertion ≡ sort-take -------------------------
+
+  test("TopKContexts insertion buffer ≡ sort-then-take(k) on random streams") {
+    import graft.ed.Linking.{Ctx, TopKContexts}
+    val genCtx = for {
+      c <- Gen.choose(0, 3)
+      t <- Gen.choose(0, 3)
+      b <- Gen.choose(0, 5)
+      l <- Gen.oneOf("A", "B")
+    } yield Ctx(s"c$c", t, b, l)
+    val agg = new TopKContexts(5)
+    def ord(c: Ctx) = (c.conv_id, c.turn_idx, c.beg, c.label)
+    check(Prop.forAll(Gen.listOf(genCtx), Gen.listOf(genCtx)) { (xs, ys) =>
+      val viaReduce = xs.foldLeft(agg.zero)((b, c) => agg.reduce(b, ("k", c)))
+      val other = ys.foldLeft(agg.zero)((b, c) => agg.reduce(b, ("k", c)))
+      val merged = agg.merge(viaReduce, other)
+      viaReduce == xs.sortBy(ord).take(5) &&
+        merged == (viaReduce ++ other).sortBy(ord).take(5)
+    })
+  }
+
+  // --- LSH signatures: fused kernel ≡ declarative definition ---------------
+
+  test("sigRows fused kernel ≡ declarative signatures (bit-identical)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6)
+    val rows = (0 until 64).map { i =>
+      val dim = 24 // fixed-dim table, the embedding contract
+      (i.toLong, Array.fill(dim)((rnd.nextGaussian() * 3).toFloat))
+    } :+ (64L, Array.empty[Float])
+    val df = rows.toDF("vec_id", "embedding")
+    val declarative = SimilaritySearch.signatures(df, nPlanes = 16)
+      .select("vec_id", "sig").as[(Long, Long)].collect().toMap
+    val fused = SimilaritySearch.sigRows(df, "vec_id", nPlanes = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(fused == declarative)
+  }
+
+  // --- bruteForceTopK: fused kernel ≡ round-5 declarative form -------------
+
+  test("bruteForceTopK fused kernel ≡ declarative cosine+window form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 80).map { i =>
+      (i.toLong, Array.fill(16)((rnd.nextGaussian() * 2).toFloat))
+    } :+ (80L, Array.fill(16)(0.0f)) // zero-norm guard row
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 7)
+    // the round-5 implementation, verbatim, as the parity oracle
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val sims = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(SimilaritySearch.cosine(col("qe"), col("ce")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val expected = sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val actual = SimilaritySearch.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(actual == expected)
+  }
+
+  // --- synthetic transcripts: finer partitioning changed no row ------------
+
+  test("synthetic transcripts identical under the round-6 partitioning") {
+    // reimplement the round-5 row formula (pure function of id) in plain
+    // Scala and compare EVERY row — pins both the finer partitioning and
+    // the array-based Zipf sampling as content-neutral
+    val seed = 42L
+    val software = Vector("Python", "SPSS", "Stata", "MATLAB", "Excel", "SAS",
+      "GraphPad Prism", "EEGLAB", "ImageJ", "FreeSurfer", "scikit-learn", "numpy")
+    val weights = software.indices.map(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / weights.sum)
+    val templates = Vector[String => String](
+      s => s"All analyses were performed using $s software [ 7 ] .",
+      s => s"Data were processed with $s version 2.1 for the main cohort .",
+      s => s"We ran $s on the cluster and exported the tables .",
+      s => s"Results were checked in $s ( IBM Corp. ) afterwards .",
+      s => s"No software was mentioned in this turn at all .",
+      s => s"$s was used for statistical analysis of the cohort .")
+    def expected(id: Long): (String, Int, String, String) = {
+      val conv = id / 10
+      val turn = (id % 10).toInt
+      var x = id * 0x9E3779B97F4A7C15L + seed
+      def next(): Long = { x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 27; x *= 0x94D049BB133111EBL; x ^= x >>> 31; x }
+      val u = (next() >>> 11).toDouble / (1L << 53).toDouble
+      val soft = software(cum.indexWhere(u <= _) max 0)
+      val tpl = templates(((next() >>> 8) % templates.length).toInt)
+      val role = turn % 3 match { case 0 => "user"; case 1 => "assistant"; case _ => "tool" }
+      (s"conv$conv", turn, role, tpl(soft))
+    }
+    val rows = graft.pipeline.Transcripts.synthetic(spark, nConvs = 40, turnsPerConv = 10)
+      .collect().sortBy(r => (r.conv_id.drop(4).toLong, r.turn_idx))
+    assert(rows.length == 400)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (c, t, role, text) = expected(i.toLong)
+      assert(r.conv_id == c && r.turn_idx == t && r.role == role && r.text == text,
+        s"row $i diverged from the round-5 generator formula")
+    }
+  }
+}
