@@ -49,7 +49,15 @@ object Linking {
     * guide §1.2). Equality with the sort-take form is property-pinned in
     * Round6Spec.
     */
-  final class TopKContexts(k: Int) extends Aggregator[(String, Ctx), Seq[Ctx], Seq[Ctx]] {
+  /** Aggregator input: (surface, conv_id, turn_idx, beg, label) — a flat
+    * narrow tuple rather than a pre-built Ctx, so the zero-allocation
+    * fast path below never constructs an object for rows that don't make
+    * the top k (round 6; the surface rides along because groupByKey keys
+    * on it).
+    */
+  type CtxRow = (String, String, Int, Int, String)
+
+  final class TopKContexts(k: Int) extends Aggregator[CtxRow, Seq[Ctx], Seq[Ctx]] {
     // label participates in the order: two mention rows tied on
     // (conv_id, turn_idx, beg) but carrying different labels (possible via
     // BRAT-sourced or other external mention tables) must be kept/dropped
@@ -64,6 +72,15 @@ object Linking {
       c = Integer.compare(a.beg, b.beg)
       if (c != 0) return c
       a.label.compareTo(b.label)
+    }
+    private def cmpRow(a: CtxRow, b: Ctx): Int = {
+      var c = a._2.compareTo(b.conv_id)
+      if (c != 0) return c
+      c = Integer.compare(a._3, b.turn_idx)
+      if (c != 0) return c
+      c = Integer.compare(a._4, b.beg)
+      if (c != 0) return c
+      a._5.compareTo(b.label)
     }
     /** Insert `c` into sorted `b`, capped at k; ties keep existing elements
       * first (= stable sortBy of `b :+ c`). No-op fast path when the buffer
@@ -84,7 +101,12 @@ object Linking {
       out.result()
     }
     override def zero: Seq[Ctx] = Vector.empty
-    override def reduce(b: Seq[Ctx], a: (String, Ctx)): Seq[Ctx] = insert(b, a._2)
+    override def reduce(b: Seq[Ctx], a: CtxRow): Seq[Ctx] = {
+      // no-object fast path for the hot-key case: compare the raw tuple
+      // against the k-th element before ever building a Ctx
+      if (b.length >= k && cmpRow(a, b(b.length - 1)) >= 0) b
+      else insert(b, Ctx(a._2, a._3, a._4, a._5))
+    }
     override def merge(b1: Seq[Ctx], b2: Seq[Ctx]): Seq[Ctx] = {
       // merge two sorted capped buffers; ties take b1's elements first
       // (= stable sortBy of b1 ++ b2)
@@ -112,11 +134,16 @@ object Linking {
 
     val mains = mentions.filter(isMainLabel($"label"))
 
-    // bounded top-5 contexts per surface (map-side partial agg — see scaladoc)
+    // bounded top-5 contexts per surface (map-side partial agg — see
+    // scaladoc). The agg input is a NARROW column selection, not a typed
+    // map over full Mention objects: one fewer object-boundary round trip
+    // per mention row, and the unused mention_id/end columns never
+    // deserialize (round 6, guide §2.3 "project before the exchange")
     implicit val ctxSeqEnc: Encoder[Seq[Ctx]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     val topk = new TopKContexts(MaxContexts).toColumn
     val chosen = mains
-      .map(m => (m.surface, Ctx(m.conv_id, m.turn_idx, m.beg, m.label)))
+      .select($"surface", $"conv_id", $"turn_idx", $"beg", $"label")
+      .as[CtxRow]
       .groupByKey(_._1)
       .agg(topk.name("contexts"))
       .toDF("surface", "contexts")

@@ -287,16 +287,29 @@ object SimilaritySearch {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    // payloads re-join AFTER candidate dedup: queries broadcast, corpus via
-    // one hash join — the band explode/cap/bucket join above shuffled only
-    // (id, band, bh) rows
+    // payloads re-join AFTER candidate dedup: the query side rides a plain
+    // task broadcast (it was already driver-collected for the broadcast
+    // join), the corpus via ONE hash join — the band explode/cap/bucket
+    // join above shuffled only (id, band, bh) rows. The cosine itself runs
+    // in the fused scalar kernel (same IEEE op order as [[cosine]]; round-6
+    // — the declarative form walked three codegen'd zip_with arrays per
+    // candidate).
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Float])] =
+      queries.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+    val qb = spark.sparkContext.broadcast(qArr.toMap)
     val sims = cand
-      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))),
-        Seq("query_id"))
       .join(embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
         Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qe"), col("ce")), 6).as("sim"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"), col("ce"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val qm = qb.value
+        it.map { case (qid, nid, ce) => (qid, nid, roundHalfUp(cosineScalar(qm(qid), ce), 6)) }
+      }
+      .toDF("query_id", "neighbor_id", "sim")
     val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
   }
@@ -321,11 +334,20 @@ object SimilaritySearch {
     val cand = a.join(b, Seq("band", "bh")).filter(col("src") < col("dst"))
       .select("src", "dst")
       .dropDuplicates("src", "dst")
-    // payloads re-join once per side after the id-only dedup (see banded)
+    // payloads re-join once per side after the id-only dedup (see banded);
+    // the exact cosine runs in the fused scalar kernel (bit-identical to
+    // the declarative [[cosine]] — round 6)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     cand
       .join(embeddings.select(col("vec_id").as("src"), col("embedding").as("ea")), Seq("src"))
       .join(embeddings.select(col("vec_id").as("dst"), col("embedding").as("eb")), Seq("dst"))
-      .select(col("src"), col("dst"), round(cosine(col("ea"), col("eb")), 6).as("sim"))
+      .select(col("src").cast("long"), col("dst").cast("long"), col("ea"), col("eb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (s, d, ea, eb) =>
+        (s, d, roundHalfUp(cosineScalar(ea, eb), 6))
+      })
+      .toDF("src", "dst", "sim")
       .filter(col("sim") >= threshold)
   }
 
@@ -372,11 +394,29 @@ object SimilaritySearch {
     * a measurement instrument for test scales, not a pipeline operator.
     */
   def exactCosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("src"), col("embedding").as("ea"))
-    val b = embeddings.select(col("vec_id").as("dst"), col("embedding").as("eb"))
-    a.join(b, col("src") < col("dst"))
-      .select(col("src"), col("dst"), round(cosine(col("ea"), col("eb")), 6).as("sim"))
-      .filter(col("sim") >= threshold)
+    // instrument-scale brute force: the whole table rides one task
+    // broadcast (it did before too, as the nested-loop join's build side)
+    // and each task loops its rows against every dst > src in the fused
+    // scalar kernel — the declarative join built three zip_with arrays per
+    // pair (24 GB of transient garbage at 4k vectors), timed INSIDE the
+    // frozen Bench between the headline and scaling sections, where the
+    // garbage ate the scaling run's host-credit budget (round 6)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val allB = spark.sparkContext.broadcast(
+      embeddings.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect())
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val all = allB.value
+        it.flatMap { case (src, ea) =>
+          all.iterator.collect {
+            case (dst, eb) if src < dst => (src, dst, roundHalfUp(cosineScalar(ea, eb), 6))
+          }.filter(_._3 >= threshold)
+        }
+      }
+      .toDF("src", "dst", "sim")
   }
 
   /** Fraction of exact (src, dst) pairs present in the approximate set —

@@ -70,9 +70,10 @@ class Round6Spec extends AnyFunSuite {
     } yield Ctx(s"c$c", t, b, l)
     val agg = new TopKContexts(5)
     def ord(c: Ctx) = (c.conv_id, c.turn_idx, c.beg, c.label)
+    def row(c: Ctx): graft.ed.Linking.CtxRow = ("k", c.conv_id, c.turn_idx, c.beg, c.label)
     check(Prop.forAll(Gen.listOf(genCtx), Gen.listOf(genCtx)) { (xs, ys) =>
-      val viaReduce = xs.foldLeft(agg.zero)((b, c) => agg.reduce(b, ("k", c)))
-      val other = ys.foldLeft(agg.zero)((b, c) => agg.reduce(b, ("k", c)))
+      val viaReduce = xs.foldLeft(agg.zero)((b, c) => agg.reduce(b, row(c)))
+      val other = ys.foldLeft(agg.zero)((b, c) => agg.reduce(b, row(c)))
       val merged = agg.merge(viaReduce, other)
       viaReduce == xs.sortBy(ord).take(5) &&
         merged == (viaReduce ++ other).sortBy(ord).take(5)
