@@ -151,6 +151,28 @@ object BenchExtra {
     spark.stop()
   }
 
+  /** VERDICT r05 #3: cold AND warm kg_pipeline_testdata side by side (the
+    * frozen Bench measures cold-per-rep since the round-5 methodology fix;
+    * the warm number re-anchors the r1-r4 trend lines). Cold = pipeline
+    * caches released between reps; warm = caches kept.
+    */
+  private def kgColdWarm(reps: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = session(cpus)
+    spark.range(10).count()
+    val fn = SparkEntry.queries("q_kg_triples")
+    fn(spark, sfDir).count(); Pipeline.releaseAll() // warm-up
+    val cold = (1 to reps).map { _ =>
+      val t = time(fn(spark, sfDir).count()); Pipeline.releaseAll(); t
+    }.min
+    fn(spark, sfDir).count() // seed the warm caches
+    val warm = (1 to reps).map(_ => time(fn(spark, sfDir).count())).min
+    Pipeline.releaseAll()
+    println(s"""{"mode":"kgcoldwarm","cpus":$cpus,"sf":"$sfDir","kg_pipeline_testdata_cold":${n(cold)},"kg_pipeline_testdata_warm":${n(warm)}}""")
+    spark.stop()
+  }
+
   private def plans(suffix: String, names: Seq[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session(8)
@@ -176,6 +198,7 @@ object BenchExtra {
         .getOrElse(sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "600000").toInt)
       stages(cores, convs, turnsPer = 10)
     case Some("queries") => queries(args.lift(1).map(_.toInt).getOrElse(3))
+    case Some("kgcoldwarm") => kgColdWarm(args.lift(1).map(_.toInt).getOrElse(3))
     case Some("plans") => plans(args.lift(1).getOrElse("before"), args.drop(2).toSeq)
     case other => sys.error(s"unknown mode: $other (stages|queries|plans)")
   }

@@ -67,7 +67,12 @@ object ConnectedComponents {
       if (ownPersist) edges.unpersist()
       return vertices.toDF("id").withColumn("component", $"id")
     }
-    if (nEdges <= driverCutoff) {
+    // driver fast path only below BOTH the caller's cutoff and the packed
+    // union-find's hard 2^27 bound (ADVICE r05: a caller raising
+    // driverCutoff past the bound used to pay the full collect and then
+    // crash on the require inside runOnDriverIncident; now it routes to
+    // the distributed loop before any collect)
+    if (nEdges <= math.min(driverCutoff, 1L << 27)) {
       // Driver fast path: collect only EDGE-INCIDENT vertices (≤ 2·nEdges
       // ids). The vertex set itself is unbounded (every unique surface at
       // web scale); isolated vertices never move, so they get
