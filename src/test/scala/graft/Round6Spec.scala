@@ -124,6 +124,44 @@ class Round6Spec extends AnyFunSuite {
     assert(actual == expected)
   }
 
+  // --- multimodal header parse vs adversarial prefixes (VERDICT r05 #5) ----
+
+  test("container-header parse survives adversarial prefixes: stub fallback, no ANSI faults") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(66)
+    def bytes(n: Int) = Array.fill(n)(rnd.nextInt(256).toByte)
+    val pngMagic = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+    val adversarial: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte], // 0: empty payload
+      "GIF89a".getBytes("ISO-8859-1"), // 1: truncated GIF (n < 10)
+      pngMagic, // 2: truncated PNG (n < 26)
+      pngMagic ++ bytes(12) ++ Array.fill(4)(0xFF.toByte) ++ bytes(10), // 3: PNG width 0xFFFFFFFF
+      "BM".getBytes("ISO-8859-1") ++ bytes(40), // 4: BMP magic + junk DIB header
+      "GIF87a".getBytes("ISO-8859-1") ++ Array.fill(4)(0.toByte) ++ bytes(10)) // 5: GIF w=h=0
+    val fuzz = (0 until 200).map(_ => bytes(rnd.nextInt(64)))
+    val rows = (adversarial ++ fuzz).zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    val out = graft.ops.Multimodal.meta(rows.toDF("doc_id", "payload")).collect()
+    assert(out.length == rows.length) // the job survived every prefix (ANSI casts gated)
+    val byId = rows.map { case (id, p) => (id, p) }.toMap
+    out.foreach { r =>
+      val n = byId(r.getAs[Long]("doc_id")).length
+      val fmt = r.getAs[String]("format")
+      assert(Set("png", "bmp", "gif", "fake/raw")(fmt))
+      if (fmt == "fake/raw") {
+        assert(r.getAs[Int]("width") == n % 640 + 1)
+        assert(r.getAs[Int]("height") == n % 480 + 1)
+        assert(r.getAs[Int]("channels") == 3)
+      } else {
+        assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("height") >= 1)
+      }
+    }
+    // each crafted corrupt/truncated header must fall through to the stub
+    Seq(0L, 1L, 2L, 3L, 4L, 5L).foreach { id =>
+      assert(out.find(_.getAs[Long]("doc_id") == id).get.getAs[String]("format") == "fake/raw",
+        s"adversarial row $id must stub-fall-through")
+    }
+  }
+
   // --- synthetic transcripts: finer partitioning changed no row ------------
 
   test("synthetic transcripts identical under the round-6 partitioning") {
