@@ -82,14 +82,30 @@ object Blocking {
     * The candidate join carries ONLY sample ids; features are computed after
     * a broadcast-friendly re-join with the (deduplicated, small) sample set.
     */
+  /** Deduplicated-sample-count cutoff below which the whole blocked pair
+    * join runs on the driver (same rationale as
+    * [[ConnectedComponents.DriverEdgeCutoff]]): a tiny sample set costs
+    * more in the ~5 stage barriers of the distributed key/cap/join/dedup/
+    * score chain than in memory, and the worst case is bounded — ≤ cutoff
+    * samples × ≤ maxBlockSize block members ⇒ ≤ cutoff²/2 scored pairs.
+    * Callers opt in by passing the sample count they already know
+    * (Pipeline.run counts samples when materializing the cache); with no
+    * known count the distributed path is used unconditionally.
+    */
+  val DriverSampleCutoff = 256L
+
   def edges(
       samples: Dataset[LinkingSample],
       dicts: Broadcast[Dicts],
       threshold: Double = PairScorer.Threshold,
       maxBlockSize: Int = 1000,
-      scoredCounter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Edge] = {
+      scoredCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      knownSampleCount: Option[Long] = None): Dataset[Edge] = {
     val spark = samples.sparkSession
     import spark.implicits._
+
+    if (knownSampleCount.exists(_ <= DriverSampleCutoff))
+      return edgesOnDriver(samples, dicts, threshold, maxBlockSize, scoredCounter)
 
     // deterministic per-block cap (O3-style): rank by sample_id
     val capped = keyedCapped(samples, dicts, "id", maxBlockSize)
@@ -122,5 +138,51 @@ object Blocking {
           if (dist <= threshold) Iterator(Edge(sa.sample_id, sb.sample_id, dist)) else Iterator.empty
         }
       }
+  }
+
+  /** Driver twin of the distributed path for sample sets below
+    * [[DriverSampleCutoff]]: same keys ([[keysFor]]), same deterministic
+    * per-key cap (sort by sample_id, take maxBlockSize), same i<j pair
+    * space, same (src,dst) dedup BEFORE scoring (the scored-once
+    * contract — the accumulator counts identically), same scorer and
+    * threshold. Edge-set equality with the distributed path is
+    * property-pinned in Round6Spec.
+    */
+  private def edgesOnDriver(
+      samples: Dataset[LinkingSample],
+      dicts: Broadcast[Dicts],
+      threshold: Double,
+      maxBlockSize: Int,
+      scoredCounter: Option[org.apache.spark.util.LongAccumulator]): Dataset[Edge] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val local = samples.collect()
+    val d = dicts.value
+    val byId = local.map(s => s.sample_id -> s).toMap
+    val blocks = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    local.foreach { s =>
+      keysFor(s, d).foreach(k =>
+        blocks.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) += s.sample_id)
+    }
+    val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    val out = Vector.newBuilder[Edge]
+    blocks.valuesIterator.foreach { ids =>
+      val capped = ids.sorted.take(maxBlockSize)
+      var i = 0
+      while (i < capped.length) {
+        var j = i + 1
+        while (j < capped.length) {
+          val (src, dst) = (capped(i), capped(j))
+          if (src < dst && seen.add((src, dst))) {
+            scoredCounter.foreach(_.add(1))
+            val dist = PairScorer.distance(byId(src), byId(dst), d)
+            if (dist <= threshold) out += Edge(src, dst, dist)
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    spark.createDataset(out.result())
   }
 }

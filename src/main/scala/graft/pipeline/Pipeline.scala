@@ -178,13 +178,17 @@ object Pipeline {
     val mentions = mentionsView(detDF)
 
     val samples = Linking.samples(mentions, relations).persist(StorageLevel.MEMORY_AND_DISK)
-    samples.count()
+    val nSamples = samples.count()
     // Pair scoring is the single most expensive ED stage: persist so the
     // CC edge-count pass and the CC consumption pass execute it ONCE
     // (round-1 ran it twice — VERDICT r01 "What's wrong" #1). CC sees the
-    // persisted level and skips its own.
+    // persisted level and skips its own. The sample count just measured is
+    // passed through so tiny deduplicated vocabularies take Blocking's
+    // driver fast path (round 6 — the distributed key/cap/join chain's ~5
+    // stage barriers dominate it below the cutoff).
     val scored = spark.sparkContext.longAccumulator("graft.ed.scoredPairs")
-    val edges = Blocking.edges(samples, bc, threshold, scoredCounter = Some(scored))
+    val edges = Blocking.edges(samples, bc, threshold, scoredCounter = Some(scored),
+        knownSampleCount = Some(nSamples))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vertices = samples.select($"sample_id".as[java.lang.Long])
     val components = ConnectedComponents.run(vertices, edges)

@@ -124,6 +124,39 @@ class Round6Spec extends AnyFunSuite {
     assert(actual == expected)
   }
 
+  // --- Blocking driver fast path ≡ distributed blocked pair join -----------
+
+  test("Blocking.edges driver fast path ≡ distributed path (edge-set equality)") {
+    import spark.implicits._
+    val bc = graft.dicts.Dicts.broadcast(spark, graft.dicts.Dicts.fixture)
+    val surfaces = Seq("Stata", "STATA", "stata 13", "SPSS",
+      "Statistical Package for the Social Sciences", "MATLAB", "Matlab r2019b",
+      "Excel", "MS Excel", "Python", "python 3.8", "numpy", "GraphPad Prism",
+      "EEGLAB toolbox", "R", "ImageJ")
+    val samples = surfaces.zipWithIndex.map { case (s, i) =>
+      graft.core.LinkingSample(
+        sample_id = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(org.apache.spark.unsafe.types.UTF8String.fromString(s).getBaseObject,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s).getBaseOffset,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s).numBytes(), 42L),
+        conv_id = s"c$i", turn_idx = i, beg = 0, mention = s,
+        string = graft.core.Normalize.removeSpaces(s),
+        norm = graft.core.Normalize.normalize(s),
+        ent_type = "Application_Usage",
+        relations = if (i % 3 == 0) Seq(graft.core.RelInfo("Version_of", "13.1")) else Seq.empty)
+    }
+    val ds = spark.createDataset(samples)
+    val distCnt = spark.sparkContext.longAccumulator("dist")
+    val drvCnt = spark.sparkContext.longAccumulator("drv")
+    val distributed = graft.ed.Blocking.edges(ds, bc, threshold = 1.0,
+      scoredCounter = Some(distCnt)).collect().toSet
+    val driver = graft.ed.Blocking.edges(ds, bc, threshold = 1.0,
+      scoredCounter = Some(drvCnt), knownSampleCount = Some(samples.length.toLong))
+      .collect().toSet
+    assert(driver == distributed)
+    assert(drvCnt.value == distCnt.value, "scored-once pair counts must match")
+  }
+
   // --- multimodal header parse vs adversarial prefixes (VERDICT r05 #5) ----
 
   test("container-header parse survives adversarial prefixes: stub fallback, no ANSI faults") {
