@@ -82,29 +82,43 @@ object BenchExtra {
 
     sc.setJobDescription("stage: samples (top-5 ctx agg + rels)")
     val samples = Linking.samples(mentions, relations).persist(StorageLevel.MEMORY_AND_DISK)
-    val tSamples = time(samples.count())
+    var nSamples = 0L
+    val tSamples = time { nSamples = samples.count() }
 
-    sc.setJobDescription("stage: edges (blocked pair scoring)")
-    val edges = Blocking.edges(samples, bc, graft.ed.PairScorer.Threshold)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val tEdges = time(edges.count())
-
-    sc.setJobDescription("stage: cc")
-    val vertices = samples.select($"sample_id".as[java.lang.Long])
-    var components: org.apache.spark.sql.DataFrame = null
-    val tCc = time { components = ConnectedComponents.run(vertices, edges) }
+    // mirror Pipeline.run's routing: below the cutoff the pair join,
+    // union-find and canon map are ONE driver block (round 6)
+    sc.setJobDescription("stage: edges + cc + canon")
+    val scored = sc.longAccumulator("graft.ed.scoredPairs.benchextra")
+    var canon: org.apache.spark.sql.DataFrame = null
+    var edges: org.apache.spark.sql.Dataset[graft.core.Edge] = null
+    val tEdgesCcCanon = time {
+      if (nSamples <= Blocking.DriverSampleCutoff) {
+        val samplesLocal = samples.collect()
+        val edgesVec = Blocking.edgesLocal(samplesLocal, Dicts.fixture,
+          graft.ed.PairScorer.Threshold, maxBlockSize = 1000, scoredCounter = Some(scored))
+        val comp = ConnectedComponents.unionFindLocal(edgesVec.map(e => (e.src, e.dst)))
+        edges = spark.createDataset(edgesVec).persist(StorageLevel.MEMORY_AND_DISK)
+        canon = spark.createDataset(
+          samplesLocal.toSeq.map(s => (s.mention, comp.getOrElse(s.sample_id, s.sample_id))))
+          .toDF("mention", "canonical")
+      } else {
+        edges = Blocking.edges(samples, bc, graft.ed.PairScorer.Threshold,
+          scoredCounter = Some(scored)).persist(StorageLevel.MEMORY_AND_DISK)
+        val vertices = samples.select($"sample_id".as[java.lang.Long])
+        canon = Linking.canonicalMap(samples, ConnectedComponents.run(vertices, edges))
+      }
+    }
 
     sc.setJobDescription("stage: canon join + triples count")
-    val canon = Linking.canonicalMap(samples, components)
     val triples = Pipeline.backJoinTriples(relations.toDF(), canon)
     val tTriples = time(triples.count())
 
     det.unpersist(); samples.unpersist(); edges.unpersist()
-    val total = tDetect + tSamples + tEdges + tCc + tTriples
+    val total = tDetect + tSamples + tEdgesCcCanon + tTriples
     println(
       s"""{"mode":"stages","cores":$cores,"turns":${nConvs.toLong * turnsPer},""" +
         s""""gen_noop":${n(tGen)},"detect":${n(tDetect)},"samples":${n(tSamples)},""" +
-        s""""edges":${n(tEdges)},"cc":${n(tCc)},"triples":${n(tTriples)},""" +
+        s""""edges_cc_canon":${n(tEdgesCcCanon)},"triples":${n(tTriples)},""" +
         s""""total":${n(total)}}""")
     spark.stop()
   }

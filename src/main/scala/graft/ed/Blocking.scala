@@ -156,8 +156,20 @@ object Blocking {
       scoredCounter: Option[org.apache.spark.util.LongAccumulator]): Dataset[Edge] = {
     val spark = samples.sparkSession
     import spark.implicits._
-    val local = samples.collect()
-    val d = dicts.value
+    spark.createDataset(
+      edgesLocal(samples.collect(), dicts.value, threshold, maxBlockSize, scoredCounter))
+  }
+
+  /** The driver-side pair-join kernel shared by [[edges]]' fast path and
+    * Pipeline.run's small-vocabulary route (which already holds the
+    * collected samples and so skips even the collect job).
+    */
+  private[graft] def edgesLocal(
+      local: Array[LinkingSample],
+      d: Dicts,
+      threshold: Double,
+      maxBlockSize: Int,
+      scoredCounter: Option[org.apache.spark.util.LongAccumulator]): Vector[Edge] = {
     val byId = local.map(s => s.sample_id -> s).toMap
     val blocks = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
     local.foreach { s =>
@@ -183,6 +195,6 @@ object Blocking {
         i += 1
       }
     }
-    spark.createDataset(out.result())
+    out.result()
   }
 }

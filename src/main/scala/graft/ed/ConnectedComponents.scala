@@ -245,6 +245,39 @@ object ConnectedComponents {
     spark.createDataset(rdd).toDF("id", "comp")
   }
 
+  /** Driver-side union-find over an already-local edge list — min
+    * reachable id per edge-incident vertex, the identical contract to
+    * [[run]] (isolated vertices are the caller's to default to their own
+    * id). Pipeline.run's small-vocabulary route uses it to skip even the
+    * count + collect jobs of the Dataset driver path when the edges were
+    * computed locally; equality with [[run]] is pinned in Round6Spec.
+    */
+  private[graft] def unionFindLocal(edges: Iterable[(Long, Long)]): collection.Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val minId = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keysIterator.foreach { v =>
+      val r = find(v)
+      if (v < minId.getOrElse(r, Long.MaxValue)) minId(r) = v
+    }
+    val out = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keysIterator.foreach(v => out(v) = minId(find(v)))
+    out
+  }
+
   /** Typed convenience. */
   def components(vertices: Dataset[java.lang.Long], edges: Dataset[Edge]): Dataset[Component] = {
     val spark = vertices.sparkSession

@@ -187,12 +187,36 @@ object Pipeline {
     // driver fast path (round 6 — the distributed key/cap/join chain's ~5
     // stage barriers dominate it below the cutoff).
     val scored = spark.sparkContext.longAccumulator("graft.ed.scoredPairs")
-    val edges = Blocking.edges(samples, bc, threshold, scoredCounter = Some(scored),
-        knownSampleCount = Some(nSamples))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = samples.select($"sample_id".as[java.lang.Long])
-    val components = ConnectedComponents.run(vertices, edges)
-    val canon = Linking.canonicalMap(samples, components)
+    val (edges, components, canon) =
+      if (nSamples <= Blocking.DriverSampleCutoff) {
+        // Small-vocabulary route (round 6): the deduplicated sample set is
+        // tiny, so the blocked pair join, the union-find and the canonical
+        // map all run on the driver — ONE collect of the cached samples
+        // replaces ~8 stage barriers of tiny distributed jobs (the edges
+        // key/cap/join/dedup chain, CC's count + packed collect, the canon
+        // build joins). Each driver twin is property-pinned equal to its
+        // distributed operator (Round6Spec); the triples back-join below
+        // stays fully distributed — the relation stream is the unbounded
+        // side at scale, the canon side is bounded by the cutoff here.
+        val samplesLocal = samples.collect()
+        val edgesVec = Blocking.edgesLocal(samplesLocal, d, threshold,
+          maxBlockSize = 1000, scoredCounter = Some(scored))
+        val comp = ConnectedComponents.unionFindLocal(edgesVec.map(e => (e.src, e.dst)))
+        val edgesDs = spark.createDataset(edgesVec).persist(StorageLevel.MEMORY_AND_DISK)
+        val componentsDF = spark.createDataset(
+          samplesLocal.toSeq.map(s => (s.sample_id, comp.getOrElse(s.sample_id, s.sample_id))))
+          .toDF("id", "component")
+        val canonDF = spark.createDataset(
+          samplesLocal.toSeq.map(s => (s.mention, comp.getOrElse(s.sample_id, s.sample_id))))
+          .toDF("mention", "canonical")
+        (edgesDs, componentsDF, canonDF)
+      } else {
+        val e = Blocking.edges(samples, bc, threshold, scoredCounter = Some(scored))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val vertices = samples.select($"sample_id".as[java.lang.Long])
+        val c = ConnectedComponents.run(vertices, e)
+        (e, c, Linking.canonicalMap(samples, c))
+      }
 
     val triples = backJoinTriples(relations.toDF(), canon).as[Triple]
 

@@ -157,6 +157,43 @@ class Round6Spec extends AnyFunSuite {
     assert(drvCnt.value == distCnt.value, "scored-once pair counts must match")
   }
 
+  // --- local union-find ≡ distributed CC -----------------------------------
+
+  test("unionFindLocal ≡ ConnectedComponents.run on random edge sets") {
+    import spark.implicits._
+    // ids avoid the exact value -1: CC's packed driver path documents it as
+    // the open-addressing sentinel (real sample ids are 64-bit hashes;
+    // collision probability 2^-64 — the require fires loudly, by design)
+    val genEdges = Gen.listOf(for {
+      a <- Gen.choose(-20L, 20L) if a != -1L
+      b <- Gen.choose(-20L, 20L) if b != a && b != -1L
+    } yield (a, b))
+    check(Prop.forAll(genEdges) { es =>
+      val local = graft.ed.ConnectedComponents.unionFindLocal(es)
+      val vertexIds = es.flatMap(e => Seq(e._1, e._2)).distinct
+      if (vertexIds.isEmpty) local.isEmpty
+      else {
+        val vertices = vertexIds.toDS().as[java.lang.Long]
+        val edges = es.map { case (a, b) => graft.core.Edge(a, b, 0.0) }.toDS()
+        val dist = graft.ed.ConnectedComponents.run(vertices, edges)
+          .as[(Long, Long)].collect().toMap
+        vertexIds.forall(v => local(v) == dist(v))
+      }
+    })
+  }
+
+  test("Pipeline small-vocabulary route: components ≡ distributed CC over Result.edges") {
+    import spark.implicits._
+    val turns = graft.pipeline.Transcripts.fixture(spark)
+    val r = graft.pipeline.Pipeline.run(spark, turns, graft.dicts.Dicts.fixture)
+    val fromRun = r.components.as[(Long, Long)].collect().toMap
+    val vertices = r.samples.select(col("sample_id")).as[java.lang.Long]
+    val redone = graft.ed.ConnectedComponents.run(vertices, r.edges)
+      .as[(Long, Long)].collect().toMap
+    assert(fromRun == redone)
+    r.unpersist()
+  }
+
   // --- multimodal header parse vs adversarial prefixes (VERDICT r05 #5) ----
 
   test("container-header parse survives adversarial prefixes: stub fallback, no ANSI faults") {
