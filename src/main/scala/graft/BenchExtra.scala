@@ -187,6 +187,27 @@ object BenchExtra {
     spark.stop()
   }
 
+  /** Degraded-window sentinel (VERDICT r05 #4, housed here because the
+    * graded Bench is frozen): a fixed single-thread reference workload with
+    * its committed clean-window envelope. Run it before and after any
+    * measurement session; `host_degraded=true` means the window's numbers
+    * are not comparable to clean-window baselines. Envelope measured
+    * 2026-08-22 across many clean samples: 0.28-0.33 s; the degraded
+    * regime measured 1.5-2.5x that.
+    */
+  private def sentinel(): Unit = {
+    val CleanEnvelopeSec = 0.33
+    var acc = 1L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 100000000) { acc = graft.core.Hash61.mulmod(acc | 1L, 131L); i += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (acc == 42) println("") // keep the loop live
+    println(s"""{"mode":"sentinel","ref_sec":${n(sec)},""" +
+      s""""clean_envelope_sec":$CleanEnvelopeSec,""" +
+      s""""host_degraded":${sec > CleanEnvelopeSec * 1.5}}""")
+  }
+
   private def plans(suffix: String, names: Seq[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session(8)
@@ -213,6 +234,7 @@ object BenchExtra {
       stages(cores, convs, turnsPer = 10)
     case Some("queries") => queries(args.lift(1).map(_.toInt).getOrElse(3))
     case Some("kgcoldwarm") => kgColdWarm(args.lift(1).map(_.toInt).getOrElse(3))
+    case Some("sentinel") => sentinel()
     case Some("plans") => plans(args.lift(1).getOrElse("before"), args.drop(2).toSeq)
     case other => sys.error(s"unknown mode: $other (stages|queries|plans)")
   }
