@@ -85,28 +85,18 @@ object BenchExtra {
     var nSamples = 0L
     val tSamples = time { nSamples = samples.count() }
 
-    // mirror Pipeline.run's routing: below the cutoff the pair join,
-    // union-find and canon map are ONE driver block (round 6)
+    // Pipeline.run's ROUTED construction, via the ONE shared definition
+    // (below the cutoff the pair join, union-find and canon map are a
+    // single driver block — round 6)
     sc.setJobDescription("stage: edges + cc + canon")
     val scored = sc.longAccumulator("graft.ed.scoredPairs.benchextra")
     var canon: org.apache.spark.sql.DataFrame = null
     var edges: org.apache.spark.sql.Dataset[graft.core.Edge] = null
     val tEdgesCcCanon = time {
-      if (nSamples <= Blocking.DriverSampleCutoff) {
-        val samplesLocal = samples.collect()
-        val edgesVec = Blocking.edgesLocal(samplesLocal, Dicts.fixture,
-          graft.ed.PairScorer.Threshold, maxBlockSize = 1000, scoredCounter = Some(scored))
-        val comp = ConnectedComponents.unionFindLocal(edgesVec.map(e => (e.src, e.dst)))
-        edges = spark.createDataset(edgesVec).persist(StorageLevel.MEMORY_AND_DISK)
-        canon = spark.createDataset(
-          samplesLocal.toSeq.map(s => (s.mention, comp.getOrElse(s.sample_id, s.sample_id))))
-          .toDF("mention", "canonical")
-      } else {
-        edges = Blocking.edges(samples, bc, graft.ed.PairScorer.Threshold,
-          scoredCounter = Some(scored)).persist(StorageLevel.MEMORY_AND_DISK)
-        val vertices = samples.select($"sample_id".as[java.lang.Long])
-        canon = Linking.canonicalMap(samples, ConnectedComponents.run(vertices, edges))
-      }
+      val (e, _, c) = Pipeline.edgesComponentsCanon(
+        samples, nSamples, d, bc, graft.ed.PairScorer.Threshold, Some(scored))
+      edges = e
+      canon = c
     }
 
     sc.setJobDescription("stage: canon join + triples count")
@@ -236,6 +226,6 @@ object BenchExtra {
     case Some("kgcoldwarm") => kgColdWarm(args.lift(1).map(_.toInt).getOrElse(3))
     case Some("sentinel") => sentinel()
     case Some("plans") => plans(args.lift(1).getOrElse("before"), args.drop(2).toSeq)
-    case other => sys.error(s"unknown mode: $other (stages|queries|plans)")
+    case other => sys.error(s"unknown mode: $other (stages|queries|plans|kgcoldwarm|sentinel)")
   }
 }

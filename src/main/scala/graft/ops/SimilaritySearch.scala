@@ -42,9 +42,12 @@ object SimilaritySearch {
   /** Scalar twin of [[cosine]]: same IEEE operations in the same order
     * (left-to-right double sums = the `aggregate` fold; zero-norm → 0.0),
     * for the fused kernels below. Assumes equal-length vectors (the
-    * embedding-table contract).
+    * embedding-table contract). A NULL embedding (failed encoder — routine
+    * in real corpora) scores 0.0 under the same missing-signal convention
+    * as the zero-norm guard, instead of NPE-ing the task (round-6 review).
     */
   private def cosineScalar(a: Array[Float], b: Array[Float]): Double = {
+    if (a == null || b == null) return 0.0
     var na = 0.0
     var nb = 0.0
     var dot = 0.0
@@ -72,16 +75,27 @@ object SimilaritySearch {
     if (v.isNaN || v.isInfinite) v
     else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Per-query bounded top-k accumulator ordered by (sim desc, id asc). */
+  /** Per-query bounded top-k accumulator ordered by (sim desc, id asc).
+    * Comparisons use SQL double ordering (java Double.compare — NaN ranks
+    * ABOVE every number, exactly as the declarative window's `sim.desc`
+    * did; raw `<` would silently drop NaN rows the window ranked first —
+    * round-6 review). Rounded sims are never -0.0, so Double.compare and
+    * SQL ordering agree on every reachable value.
+    */
   private final class TopKAcc(k: Int) {
     private val sims = new Array[Double](k)
     private val ids = new Array[Long](k)
     private var n = 0
+    // true iff (s1, id1) ranks strictly before (s2, id2) by (sim desc, id asc)
+    private def before(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && id1 < id2)
+    }
     def offer(s: Double, id: Long): Unit = {
-      if (n == k && (s < sims(n - 1) || (s == sims(n - 1) && id > ids(n - 1)))) return
+      if (n == k && !before(s, id, sims(n - 1), ids(n - 1))) return
       var i = n
       if (n < k) n += 1
-      while (i > 0 && (sims(i - 1) < s || (sims(i - 1) == s && ids(i - 1) > id))) {
+      while (i > 0 && before(s, id, sims(i - 1), ids(i - 1))) {
         if (i < k) { sims(i) = sims(i - 1); ids(i) = ids(i - 1) }
         i -= 1
       }
@@ -104,6 +118,14 @@ object SimilaritySearch {
     * three codegen'd `aggregate(zip_with(...))` array walks to one fused
     * loop. Values are bit-identical to the declarative form (same IEEE sum
     * order, same HALF_UP rounding; parity-pinned in Round6Spec).
+    *
+    * NOTE: constructing this DataFrame eagerly collects the query set (a
+    * tiny driver job — the round-5 form paid the same collect at execution
+    * time inside its broadcast-join build) and registers a task broadcast
+    * whose lifecycle the ContextCleaner manages; plan-only callers
+    * (explain dumps) pay the small collect too. Same note applies to
+    * [[lshTopK]]'s query-map broadcast and [[exactCosinePairs]]'
+    * corpus broadcast.
     */
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
       roundTo: Int = 6): DataFrame = {
@@ -413,7 +435,12 @@ object SimilaritySearch {
         it.flatMap { case (src, ea) =>
           all.iterator.collect {
             case (dst, eb) if src < dst => (src, dst, roundHalfUp(cosineScalar(ea, eb), 6))
-          }.filter(_._3 >= threshold)
+          }.filter(p => p._3 >= threshold || p._3.isNaN)
+          // NaN kept: SQL `sim >= t` is TRUE for NaN (NaN-largest ordering),
+          // and the declarative twin this instrument replaced kept such
+          // pairs — a scala-side `>=` would silently drop them and break
+          // pairRecall's precision-1.0 invariant on NaN inputs (round-6
+          // review; the zero-norm guard means NaN requires NaN input floats)
         }
       }
       .toDF("src", "dst", "sim")

@@ -188,35 +188,7 @@ object Pipeline {
     // stage barriers dominate it below the cutoff).
     val scored = spark.sparkContext.longAccumulator("graft.ed.scoredPairs")
     val (edges, components, canon) =
-      if (nSamples <= Blocking.DriverSampleCutoff) {
-        // Small-vocabulary route (round 6): the deduplicated sample set is
-        // tiny, so the blocked pair join, the union-find and the canonical
-        // map all run on the driver — ONE collect of the cached samples
-        // replaces ~8 stage barriers of tiny distributed jobs (the edges
-        // key/cap/join/dedup chain, CC's count + packed collect, the canon
-        // build joins). Each driver twin is property-pinned equal to its
-        // distributed operator (Round6Spec); the triples back-join below
-        // stays fully distributed — the relation stream is the unbounded
-        // side at scale, the canon side is bounded by the cutoff here.
-        val samplesLocal = samples.collect()
-        val edgesVec = Blocking.edgesLocal(samplesLocal, d, threshold,
-          maxBlockSize = 1000, scoredCounter = Some(scored))
-        val comp = ConnectedComponents.unionFindLocal(edgesVec.map(e => (e.src, e.dst)))
-        val edgesDs = spark.createDataset(edgesVec).persist(StorageLevel.MEMORY_AND_DISK)
-        val componentsDF = spark.createDataset(
-          samplesLocal.toSeq.map(s => (s.sample_id, comp.getOrElse(s.sample_id, s.sample_id))))
-          .toDF("id", "component")
-        val canonDF = spark.createDataset(
-          samplesLocal.toSeq.map(s => (s.mention, comp.getOrElse(s.sample_id, s.sample_id))))
-          .toDF("mention", "canonical")
-        (edgesDs, componentsDF, canonDF)
-      } else {
-        val e = Blocking.edges(samples, bc, threshold, scoredCounter = Some(scored))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val vertices = samples.select($"sample_id".as[java.lang.Long])
-        val c = ConnectedComponents.run(vertices, e)
-        (e, c, Linking.canonicalMap(samples, c))
-      }
+      edgesComponentsCanon(samples, nSamples, d, bc, threshold, Some(scored))
 
     val triples = backJoinTriples(relations.toDF(), canon).as[Triple]
 
@@ -233,6 +205,54 @@ object Pipeline {
       Result(mentions, relations, samples, edges, components, triples, Some(scored), Some(det))
     live.add(result)
     result
+  }
+
+  /** The routed (edges, components, canon) construction — ONE definition
+    * shared by [[run]] and the BenchExtra stage profiler, so the profiler
+    * cannot drift from the flow the bench actually measures (the round-5
+    * review's verbatim-copy lesson, round-6 review here).
+    *
+    * Small-vocabulary route (round 6): at or below
+    * [[Blocking.DriverSampleCutoff]] deduplicated samples, the blocked
+    * pair join, the union-find and the canonical map all run on the
+    * driver — ONE collect of the cached samples replaces ~8 stage
+    * barriers of tiny distributed jobs (the edges key/cap/join/dedup
+    * chain, CC's count + packed collect, the canon build joins). Each
+    * driver twin is property-pinned equal to its distributed operator
+    * (Round6Spec); the triples back-join stays fully distributed — the
+    * relation stream is the unbounded side at scale, the canon side is
+    * bounded by the cutoff here.
+    */
+  private[graft] def edgesComponentsCanon(
+      samples: Dataset[LinkingSample],
+      nSamples: Long,
+      d: Dicts,
+      bc: org.apache.spark.broadcast.Broadcast[Dicts],
+      threshold: Double,
+      scored: Option[org.apache.spark.util.LongAccumulator])
+      : (Dataset[Edge], DataFrame, DataFrame) = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    if (nSamples <= Blocking.DriverSampleCutoff) {
+      val samplesLocal = samples.collect()
+      val edgesVec = Blocking.edgesLocal(samplesLocal, d, threshold,
+        maxBlockSize = 1000, scoredCounter = scored)
+      val comp = ConnectedComponents.unionFindLocal(edgesVec.map(e => (e.src, e.dst)))
+      val edgesDs = spark.createDataset(edgesVec).persist(StorageLevel.MEMORY_AND_DISK)
+      val componentsDF = spark.createDataset(
+        samplesLocal.toSeq.map(s => (s.sample_id, comp.getOrElse(s.sample_id, s.sample_id))))
+        .toDF("id", "component")
+      val canonDF = spark.createDataset(
+        samplesLocal.toSeq.map(s => (s.mention, comp.getOrElse(s.sample_id, s.sample_id))))
+        .toDF("mention", "canonical")
+      (edgesDs, componentsDF, canonDF)
+    } else {
+      val e = Blocking.edges(samples, bc, threshold, scoredCounter = scored)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val vertices = samples.select($"sample_id".as[java.lang.Long])
+      val c = ConnectedComponents.run(vertices, e)
+      (e, c, Linking.canonicalMap(samples, c))
+    }
   }
 
   /** Pipeline results whose persisted intermediates have not been released

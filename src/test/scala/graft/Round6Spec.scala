@@ -104,7 +104,8 @@ class Round6Spec extends AnyFunSuite {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 80).map { i =>
       (i.toLong, Array.fill(16)((rnd.nextGaussian() * 2).toFloat))
-    } :+ (80L, Array.fill(16)(0.0f)) // zero-norm guard row
+    } :+ (80L, Array.fill(16)(0.0f)) :+ // zero-norm guard row
+      (81L, Array.fill(16)(Float.NaN)) // NaN row: SQL NaN-largest ordering must hold in the fused kernel too
     val emb = rows.toDF("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < 7)
     // the round-5 implementation, verbatim, as the parity oracle
@@ -115,12 +116,16 @@ class Round6Spec extends AnyFunSuite {
         round(SimilaritySearch.cosine(col("qe"), col("ce")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    // NaN != NaN under tuple equality, but a NaN sim must rank identically
+    // (SQL NaN-largest) in both forms — compare on a NaN-normalized view
+    def norm(t: (Long, Int, Long, Double)) =
+      (t._1, t._2, t._3, if (t._4.isNaN) "NaN" else t._4.toString)
     val expected = sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "sim")
-      .as[(Long, Int, Long, Double)].collect().toSet
+      .as[(Long, Int, Long, Double)].collect().map(norm).toSet
     val actual = SimilaritySearch.bruteForceTopK(emb, queries, k = 5)
       .select("query_id", "rank", "neighbor_id", "sim")
-      .as[(Long, Int, Long, Double)].collect().toSet
+      .as[(Long, Int, Long, Double)].collect().map(norm).toSet
     assert(actual == expected)
   }
 
@@ -155,6 +160,22 @@ class Round6Spec extends AnyFunSuite {
       .collect().toSet
     assert(driver == distributed)
     assert(drvCnt.value == distCnt.value, "scored-once pair counts must match")
+  }
+
+  test("fused cosine kernels survive NULL embeddings (missing-signal 0.0, no NPE)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8)
+    val rows = (0 until 10).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat()))) :+
+      (10L, null.asInstanceOf[Array[Float]])
+    val emb = rows.toDF("vec_id", "embedding")
+    // all four fused paths must complete; the null row scores 0.0 wherever it appears
+    val topk = SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id").isin(0L, 10L)), k = 3)
+      .collect()
+    assert(topk.nonEmpty)
+    assert(topk.filter(_.getAs[Long]("query_id") == 10L).forall(_.getAs[Double]("sim") == 0.0))
+    assert(SimilaritySearch.exactCosinePairs(emb, threshold = -1.0).count() == 55) // all pairs incl. null row
+    assert(SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") === 0L), k = 3).count() >= 0)
+    assert(SimilaritySearch.cosineDupes(emb, threshold = -1.0).count() >= 0)
   }
 
   // --- local union-find ≡ distributed CC -----------------------------------
