@@ -116,17 +116,39 @@ object Dedup {
   }
 
   /** [[jaccardOf]] against pre-built per-doc shingle-set rows
-    * ([[shingleSets]] shape: (doc_id, shset)).
+    * ([[shingleSets]] shape: (doc_id, shset)). CONTRACT: `shset` arrays are
+    * distinct AND sorted ([[shingleSets]] emits them so; [[jaccardOf]]
+    * sorts its collect_set) — the common count then runs as an
+    * allocation-free sorted-merge kernel instead of `array_intersect`'s
+    * per-pair hash set + result array (at sf0.1 the verification join
+    * feeds ~287k candidate pairs × ~60-element sets; the intersect
+    * allocation was the dominant cost of the whole minhash query —
+    * round 6, guide §1.2). Values identical: same integer common count,
+    * same double division (parity property in Round6Spec).
     */
-  def jaccardOfSets(pairs: DataFrame, sets: DataFrame): DataFrame =
+  def jaccardOfSets(pairs: DataFrame, sets: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     pairs
       .join(sets.select(col("doc_id").as("src"), col("shset").as("sa")), "src")
       .join(sets.select(col("doc_id").as("dst"), col("shset").as("sb")), "dst")
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .select(col("src"), col("dst"),
-        (col("common") /
-          (size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("common")))
-          .as("jaccard"))
+      .select(col("src").cast("long"), col("dst").cast("long"), col("sa"), col("sb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (src, dst, sa, sb) =>
+        var i = 0
+        var j = 0
+        var common = 0L
+        while (i < sa.length && j < sb.length) {
+          val a = sa(i)
+          val b = sb(j)
+          if (a == b) { common += 1; i += 1; j += 1 }
+          else if (a < b) i += 1
+          else j += 1
+        }
+        (src, dst, common.toDouble / (sa.length.toLong + sb.length - common))
+      })
+      .toDF("src", "dst", "jaccard")
+  }
 
   /** Word shingles WITHOUT the distinct (no shuffle): min() is multiset-
     * invariant, so MinHash signatures can aggregate straight off the scan.
@@ -308,7 +330,8 @@ object Dedup {
     *
     * Shape: each doc's distinct shingles collapse to ONE array row
     * (`collect_set`), pairs join two array columns, and the intersection
-    * count is a native codegen'd `array_intersect` per pair — so the
+    * count is an allocation-free sorted-merge kernel per pair (round 6;
+    * was `array_intersect`) — so the
     * shuffled volume is one row per doc + one per pair, never the
     * pairs × shingles expansion of the join form (measured 5.1 s → 0.6 s
     * on 287k candidate pairs at sf0.1; at web scale that expansion is the
@@ -317,7 +340,11 @@ object Dedup {
     * upstream, as any dedup corpus does.
     */
   def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame =
-    jaccardOfSets(pairs, sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("shset")))
+    // sort_array: jaccardOfSets' sorted-merge contract (values unchanged —
+    // a set's jaccard is order-independent; sorting also makes the row
+    // deterministic under any partitioning, which collect_set alone is not)
+    jaccardOfSets(pairs,
+      sh.groupBy("doc_id").agg(sort_array(collect_set(col("shingle"))).as("shset")))
 
   /** Blocked n-gram Jaccard dedup without MinHash (small/medium scale or
     * verification path): block on a cheap key, exact Jaccard within block.

@@ -178,6 +178,34 @@ class Round6Spec extends AnyFunSuite {
     assert(SimilaritySearch.cosineDupes(emb, threshold = -1.0).count() >= 0)
   }
 
+  // --- sorted-merge jaccard kernel ≡ array_intersect form ------------------
+
+  test("jaccardOfSets sorted-merge kernel ≡ array_intersect + size formula") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val sets = (0 until 40).map { i =>
+      (i.toLong, (0 until rnd.nextInt(60)).map(_ => rnd.nextInt(80).toLong).distinct.sorted.toArray)
+    }
+    val setsDF = sets.toDF("doc_id", "shset")
+    val pairs = (for (i <- 0 until 40; j <- i + 1 until 40 if rnd.nextInt(4) == 0)
+      yield (i.toLong, j.toLong)).toDF("src", "dst")
+    val fused = graft.ops.Dedup.jaccardOfSets(pairs, setsDF)
+      .as[(Long, Long, Double)].collect().toSet
+    // the round-5 declarative form, verbatim, as the parity oracle
+    val declarative = pairs
+      .join(setsDF.select(col("doc_id").as("src"), col("shset").as("sa")), "src")
+      .join(setsDF.select(col("doc_id").as("dst"), col("shset").as("sb")), "dst")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select(col("src"), col("dst"),
+        (col("common") /
+          (size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("common")))
+          .as("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    // normalize NaN (empty∩empty edge) for set equality
+    def norm(t: (Long, Long, Double)) = (t._1, t._2, if (t._3.isNaN) "NaN" else t._3.toString)
+    assert(fused.map(norm) == declarative.map(norm))
+  }
+
   // --- local union-find ≡ distributed CC -----------------------------------
 
   test("unionFindLocal ≡ ConnectedComponents.run on random edge sets") {
