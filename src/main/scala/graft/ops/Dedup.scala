@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data deduplication operators over a `documents`
@@ -252,16 +252,107 @@ object Dedup {
       .select(col("doc_id"), col("bh.band"), col("bh.band_hash"))
   }
 
+  /** Bounded min-k collect of doc_ids per bucket — the map-side-capped twin
+    * of a `row_number() over (partition by bucket order by doc_id) <= k`
+    * cap: both keep exactly the k smallest doc_ids of each bucket, but the
+    * Aggregator form caps during PARTIAL aggregation, so a degenerate
+    * bucket (boilerplate docs are the norm at web scale) reduces to k ids
+    * per map partition before anything shuffles, where the window form
+    * ships every member row to one reducer and drops the overflow there
+    * (guide §2.3 "aggregate before you shuffle"). Buffer is a sorted
+    * primitive Array[Long]; the hot-bucket fast path (buffer full, id at or
+    * past the k-th element — almost every row of an over-cap bucket) is a
+    * single comparison, zero allocation (same discipline as
+    * [[graft.ed.Linking.TopKContexts]]).
+    */
+  final class BoundedMinIds(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], id: Long): Array[Long] = {
+      val n = b.length
+      if (n >= k && id >= b(n - 1)) return b // hot-bucket fast path
+      var lo = 0
+      var hi = n
+      while (lo < hi) { val mid = (lo + hi) >>> 1; if (b(mid) < id) lo = mid + 1 else hi = mid }
+      val outLen = math.min(n + 1, k)
+      val out = new Array[Long](outLen)
+      System.arraycopy(b, 0, out, 0, lo)
+      out(lo) = id
+      System.arraycopy(b, lo, out, lo + 1, outLen - lo - 1)
+      out
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      if (b2.isEmpty) return b1
+      if (b1.isEmpty) return b2
+      val outLen = math.min(b1.length + b2.length, k)
+      val out = new Array[Long](outLen)
+      var i = 0; var j = 0; var o = 0
+      while (o < outLen) {
+        val take2 = i >= b1.length || (j < b2.length && b2(j) < b1(i))
+        if (take2) { out(o) = b2(j); j += 1 } else { out(o) = b1(i); i += 1 }
+        o += 1
+      }
+      out
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = bufferEncoder
+  }
+
   /** LSH candidate pairs: docs sharing any (band, band_hash) bucket.
     *
     * Skew guard (same pattern as `Blocking.edges` maxBlockSize): a
     * degenerate bucket — boilerplate/near-identical docs are the NORM at web
     * scale — would go quadratic, so buckets are capped at `maxBucket`
-    * members by deterministic rank (row_number over doc_id). Dropped rows
-    * only lose candidate pairs inside pathological buckets; run exact dedup
-    * first (identical docs are the usual cause of such buckets).
+    * members (the smallest `maxBucket` doc_ids, = a row_number-over-doc_id
+    * rank cap). Dropped rows only lose candidate pairs inside pathological
+    * buckets; run exact dedup first (identical docs are the usual cause of
+    * such buckets).
+    *
+    * Round 6 shape: the cap runs as the bounded [[BoundedMinIds]]
+    * Aggregator (map-side capped — overflow rows of a hot bucket never
+    * shuffle, where the round-5 window form shipped every member row) and
+    * pairs are enumerated locally inside each aggregated bucket row, so the
+    * capped self-join disappears; one exchange for the aggregation, one for
+    * the pair distinct. Pair set identical to the window+join twin
+    * ([[lshCandidatesJoin]], property-pinned in Round6Spec).
     */
   def lshCandidates(bandsDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val spark = bandsDf.sparkSession
+    import spark.implicits._
+    val agg = new BoundedMinIds(maxBucket).toColumn
+    bandsDf
+      .select(col("band").cast("long"), col("band_hash").cast("long"), col("doc_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapValues(_._3)
+      .agg(agg.name("ids"))
+      .flatMap { case (_, ids) =>
+        // i<j over the sorted capped bucket = the a.doc_id < b.doc_id join
+        // (equal-id guard only matters if a caller feeds duplicate rows)
+        new Iterator[(Long, Long)] {
+          private var i = 0
+          private var j = 1
+          private def advance(): Unit = {
+            while (i < ids.length - 1 && (j >= ids.length || ids(i) == ids(j))) {
+              if (j >= ids.length) { i += 1; j = i + 1 } else j += 1
+            }
+          }
+          advance()
+          override def hasNext: Boolean = i < ids.length - 1 && j < ids.length
+          override def next(): (Long, Long) = {
+            val p = (ids(i), ids(j)); j += 1; advance(); p
+          }
+        }
+      }
+      .toDF("src", "dst")
+      .distinct()
+  }
+
+  /** Round-5 window+join form of [[lshCandidates]] — kept as the semantic
+    * twin the Aggregator form is property-pinned against (Round6Spec).
+    */
+  private[graft] def lshCandidatesJoin(bandsDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val w = Window.partitionBy(col("band"), col("band_hash")).orderBy(col("doc_id"))
     val capped = bandsDf
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= maxBucket).drop("rk")
@@ -442,6 +533,100 @@ object Dedup {
     * first; identical docs otherwise concentrate in one bucket.
     */
   def simhashDupes(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nSlices = maxHamming + 1
+    require(SimhashBits % nSlices == 0,
+      s"maxHamming+1 must divide $SimhashBits (maxHamming ∈ 1..5); got $maxHamming")
+    val width = SimhashBits / nSlices
+    val mask = (1L << width) - 1
+    val sliced = simhashSignatures(docs).select(col("doc_id"), col("simhash"),
+      explode(array((0 until nSlices).map(q =>
+        struct(lit(q).as("q"),
+          shiftright(col("simhash"), q * width).bitwiseAND(mask).as("qh"))): _*)).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.q"), col("x.qh"))
+    // round 6: bucket cap + pair enumeration via the bounded map-side
+    // Aggregator, same shape as [[lshCandidates]]; the signature rides the
+    // buffer (interleaved [id0, sig0, id1, sig1, ...]) so the verification
+    // xor needs no payload join at all
+    val agg = new BoundedMinSigs(maxBucket).toColumn
+    val cand = sliced
+      .select(col("q").cast("long"), col("qh"), col("doc_id").cast("long"), col("simhash"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapValues(r => (r._3, r._4))
+      .agg(agg.name("members"))
+      .flatMap { case (_, m) =>
+        val n = m.length / 2
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var i = 0
+        while (i < n - 1) {
+          var j = i + 1
+          while (j < n) {
+            if (m(2 * i) != m(2 * j)) out += ((m(2 * i), m(2 * j), m(2 * i + 1), m(2 * j + 1)))
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("src", "dst", "sa", "sb")
+      .distinct()
+    cand.select(col("src"), col("dst"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Bounded min-k collect of (doc_id, simhash) rows per slice bucket,
+    * ordered by doc_id — [[BoundedMinIds]] with the signature riding as an
+    * interleaved payload (buffer = [id0, sig0, id1, sig1, ...], sorted by
+    * the even slots, capped at k entries = 2k longs). Same map-side-capped
+    * semantics: keeps exactly the k smallest doc_ids of each bucket.
+    */
+  final class BoundedMinSigs(k: Int) extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], r: (Long, Long)): Array[Long] = {
+      val n = b.length / 2
+      val id = r._1
+      if (n >= k && id >= b(2 * (n - 1))) return b // hot-bucket fast path
+      var lo = 0
+      var hi = n
+      while (lo < hi) { val mid = (lo + hi) >>> 1; if (b(2 * mid) < id) lo = mid + 1 else hi = mid }
+      val outN = math.min(n + 1, k)
+      val out = new Array[Long](2 * outN)
+      System.arraycopy(b, 0, out, 0, 2 * lo)
+      out(2 * lo) = id
+      out(2 * lo + 1) = r._2
+      System.arraycopy(b, 2 * lo, out, 2 * lo + 2, 2 * (outN - lo - 1))
+      out
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      if (b2.isEmpty) return b1
+      if (b1.isEmpty) return b2
+      val n1 = b1.length / 2
+      val n2 = b2.length / 2
+      val outN = math.min(n1 + n2, k)
+      val out = new Array[Long](2 * outN)
+      var i = 0; var j = 0; var o = 0
+      while (o < outN) {
+        val take2 = i >= n1 || (j < n2 && b2(2 * j) < b1(2 * i))
+        if (take2) { out(2 * o) = b2(2 * j); out(2 * o + 1) = b2(2 * j + 1); j += 1 }
+        else { out(2 * o) = b1(2 * i); out(2 * o + 1) = b1(2 * i + 1); i += 1 }
+        o += 1
+      }
+      out
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = bufferEncoder
+  }
+
+  /** Round-5 window+join form of [[simhashDupes]] — kept as the semantic
+    * twin the Aggregator form is property-pinned against (Round6Spec).
+    */
+  private[graft] def simhashDupesJoin(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val nSlices = maxHamming + 1
     require(SimhashBits % nSlices == 0,
       s"maxHamming+1 must divide $SimhashBits (maxHamming ∈ 1..5); got $maxHamming")

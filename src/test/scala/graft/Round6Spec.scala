@@ -319,4 +319,40 @@ class Round6Spec extends AnyFunSuite {
         s"row $i diverged from the round-5 generator formula")
     }
   }
+
+  // --- bounded bucket-cap aggregators ≡ window+join candidate forms --------
+
+  test("lshCandidates bounded aggregator ≡ window+join twin (incl. over-cap buckets)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (maxBucket <- Seq(1, 3, 1000)) {
+      // tiny band_hash domain → buckets far over the small caps
+      val bands = (0 until 200).map { _ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(4), rnd.nextInt(6).toLong)
+      }.distinct.toDF("doc_id", "band", "band_hash")
+      val agg = graft.ops.Dedup.lshCandidates(bands, maxBucket)
+        .as[(Long, Long)].collect().toSet
+      val join = graft.ops.Dedup.lshCandidatesJoin(bands, maxBucket)
+        .as[(Long, Long)].collect().toSet
+      assert(agg == join, s"pair sets diverged at maxBucket=$maxBucket")
+      assert(agg.forall { case (s, d) => s < d })
+    }
+  }
+
+  test("simhashDupes bounded aggregator ≡ window+join twin (incl. over-cap buckets)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    for (maxBucket <- Seq(2, 1000)) {
+      val docs = (0 until 60).map { i =>
+        // near-identical docs from a tiny vocab → shared slice buckets
+        (i.toLong, (0 until 5 + rnd.nextInt(4)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val agg = graft.ops.Dedup.simhashDupes(docs, maxHamming = 3, maxBucket = maxBucket)
+        .as[(Long, Long, Int)].collect().toSet
+      val join = graft.ops.Dedup.simhashDupesJoin(docs, maxHamming = 3, maxBucket = maxBucket)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(agg == join, s"verified pair sets diverged at maxBucket=$maxBucket")
+    }
+  }
 }
