@@ -269,7 +269,7 @@ object Dedup {
     override def zero: Array[Long] = Array.emptyLongArray
     override def reduce(b: Array[Long], id: Long): Array[Long] = {
       val n = b.length
-      if (n >= k && id >= b(n - 1)) return b // hot-bucket fast path
+      if (n >= k && (n == 0 || id >= b(n - 1))) return b // full (or k<=0): hot-bucket fast path
       var lo = 0
       var hi = n
       while (lo < hi) { val mid = (lo + hi) >>> 1; if (b(mid) < id) lo = mid + 1 else hi = mid }
@@ -588,7 +588,7 @@ object Dedup {
     override def reduce(b: Array[Long], r: (Long, Long)): Array[Long] = {
       val n = b.length / 2
       val id = r._1
-      if (n >= k && id >= b(2 * (n - 1))) return b // hot-bucket fast path
+      if (n >= k && (n == 0 || id >= b(2 * (n - 1)))) return b // full (or k<=0): hot-bucket fast path
       var lo = 0
       var hi = n
       while (lo < hi) { val mid = (lo + hi) >>> 1; if (b(2 * mid) < id) lo = mid + 1 else hi = mid }

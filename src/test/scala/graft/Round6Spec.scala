@@ -325,8 +325,9 @@ class Round6Spec extends AnyFunSuite {
   test("lshCandidates bounded aggregator ≡ window+join twin (incl. over-cap buckets)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
-    for (maxBucket <- Seq(1, 3, 1000)) {
-      // tiny band_hash domain → buckets far over the small caps
+    for (maxBucket <- Seq(0, 1, 3, 1000)) {
+      // tiny band_hash domain → buckets far over the small caps (0 = the
+      // degenerate everything-dropped cap both forms must agree on)
       val bands = (0 until 200).map { _ =>
         (rnd.nextInt(40).toLong, rnd.nextInt(4), rnd.nextInt(6).toLong)
       }.distinct.toDF("doc_id", "band", "band_hash")
@@ -343,7 +344,7 @@ class Round6Spec extends AnyFunSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(12)
     val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
-    for (maxBucket <- Seq(2, 1000)) {
+    for (maxBucket <- Seq(0, 2, 1000)) {
       val docs = (0 until 60).map { i =>
         // near-identical docs from a tiny vocab → shared slice buckets
         (i.toLong, (0 until 5 + rnd.nextInt(4)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
