@@ -88,7 +88,7 @@ object Linking {
       */
     private def insert(b: Seq[Ctx], c: Ctx): Seq[Ctx] = {
       val sz = b.length
-      if (sz >= k && cmp(c, b(sz - 1)) >= 0) return b
+      if (sz >= k && (sz == 0 || cmp(c, b(sz - 1)) >= 0)) return b // full (or k<=0) fast path
       val out = Vector.newBuilder[Ctx]
       var i = 0
       var placed = false
@@ -104,7 +104,7 @@ object Linking {
     override def reduce(b: Seq[Ctx], a: CtxRow): Seq[Ctx] = {
       // no-object fast path for the hot-key case: compare the raw tuple
       // against the k-th element before ever building a Ctx
-      if (b.length >= k && cmpRow(a, b(b.length - 1)) >= 0) b
+      if (b.length >= k && (b.isEmpty || cmpRow(a, b(b.length - 1)) >= 0)) b
       else insert(b, Ctx(a._2, a._3, a._4, a._5))
     }
     override def merge(b1: Seq[Ctx], b2: Seq[Ctx]): Seq[Ctx] = {

@@ -252,47 +252,69 @@ object Dedup {
       .select(col("doc_id"), col("bh.band"), col("bh.band_hash"))
   }
 
-  /** Bounded min-k collect of doc_ids per bucket — the map-side-capped twin
-    * of a `row_number() over (partition by bucket order by doc_id) <= k`
-    * cap: both keep exactly the k smallest doc_ids of each bucket, but the
+  /** Shared sorted-bounded-insert kernel behind [[BoundedMinIds]] and
+    * [[BoundedMinSigs]] — the map-side-capped twin of a
+    * `row_number() over (partition by bucket order by doc_id) <= k` cap:
+    * both keep exactly the k smallest doc_ids of each bucket, but the
     * Aggregator form caps during PARTIAL aggregation, so a degenerate
     * bucket (boilerplate docs are the norm at web scale) reduces to k ids
     * per map partition before anything shuffles, where the window form
     * ships every member row to one reducer and drops the overflow there
-    * (guide §2.3 "aggregate before you shuffle"). Buffer is a sorted
-    * primitive Array[Long]; the hot-bucket fast path (buffer full, id at or
-    * past the k-th element — almost every row of an over-cap bucket) is a
-    * single comparison, zero allocation (same discipline as
-    * [[graft.ed.Linking.TopKContexts]]).
+    * (guide §2.3 "aggregate before you shuffle").
+    *
+    * Buffers are flat primitive Array[Long]s of `stride`-long entries
+    * (stride 1 = bare ids; stride 2 = id + one payload long), sorted by
+    * entry slot 0. The hot-bucket fast path (buffer full, id at or past
+    * the k-th entry — almost every row of an over-cap bucket) is a single
+    * comparison, zero allocation (same discipline as
+    * [[graft.ed.Linking.TopKContexts]]). One kernel, two thin Aggregator
+    * wrappers: a fix here fixes both (round-6 review).
     */
-  final class BoundedMinIds(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
-    override def zero: Array[Long] = Array.emptyLongArray
-    override def reduce(b: Array[Long], id: Long): Array[Long] = {
-      val n = b.length
-      if (n >= k && (n == 0 || id >= b(n - 1))) return b // full (or k<=0): hot-bucket fast path
+  private[graft] object BoundedSorted {
+    /** Insert entry (e0[, e1]) into sorted buffer `b`, capped at k entries. */
+    def insert(b: Array[Long], stride: Int, k: Int, e0: Long, e1: Long): Array[Long] = {
+      val n = b.length / stride
+      if (n >= k && (n == 0 || e0 >= b(stride * (n - 1)))) return b // full (or k<=0) fast path
       var lo = 0
       var hi = n
-      while (lo < hi) { val mid = (lo + hi) >>> 1; if (b(mid) < id) lo = mid + 1 else hi = mid }
-      val outLen = math.min(n + 1, k)
-      val out = new Array[Long](outLen)
-      System.arraycopy(b, 0, out, 0, lo)
-      out(lo) = id
-      System.arraycopy(b, lo, out, lo + 1, outLen - lo - 1)
+      while (lo < hi) { val mid = (lo + hi) >>> 1; if (b(stride * mid) < e0) lo = mid + 1 else hi = mid }
+      val outN = math.min(n + 1, k)
+      val out = new Array[Long](stride * outN)
+      System.arraycopy(b, 0, out, 0, stride * lo)
+      out(stride * lo) = e0
+      if (stride == 2) out(stride * lo + 1) = e1
+      System.arraycopy(b, stride * lo, out, stride * (lo + 1), stride * (outN - lo - 1))
       out
     }
-    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    /** Merge two sorted capped buffers, capped at k entries. */
+    def merge(b1: Array[Long], b2: Array[Long], stride: Int, k: Int): Array[Long] = {
       if (b2.isEmpty) return b1
       if (b1.isEmpty) return b2
-      val outLen = math.min(b1.length + b2.length, k)
-      val out = new Array[Long](outLen)
+      val n1 = b1.length / stride
+      val n2 = b2.length / stride
+      val outN = math.max(0, math.min(n1 + n2, k))
+      val out = new Array[Long](stride * outN)
       var i = 0; var j = 0; var o = 0
-      while (o < outLen) {
-        val take2 = i >= b1.length || (j < b2.length && b2(j) < b1(i))
-        if (take2) { out(o) = b2(j); j += 1 } else { out(o) = b1(i); i += 1 }
+      while (o < outN) {
+        val take2 = i >= n1 || (j < n2 && b2(stride * j) < b1(stride * i))
+        if (take2) { System.arraycopy(b2, stride * j, out, stride * o, stride); j += 1 }
+        else { System.arraycopy(b1, stride * i, out, stride * o, stride); i += 1 }
         o += 1
       }
       out
     }
+  }
+
+  /** Bounded min-k collect of doc_ids per bucket (stride-1 wrapper over
+    * [[BoundedSorted]] — see its scaladoc for semantics and the scale
+    * rationale).
+    */
+  final class BoundedMinIds(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], id: Long): Array[Long] =
+      BoundedSorted.insert(b, 1, k, id, 0L)
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+      BoundedSorted.merge(b1, b2, 1, k)
     override def finish(r: Array[Long]): Array[Long] = r
     override def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
@@ -316,6 +338,11 @@ object Dedup {
     * capped self-join disappears; one exchange for the aggregation, one for
     * the pair distinct. Pair set identical to the window+join twin
     * ([[lshCandidatesJoin]], property-pinned in Round6Spec).
+    *
+    * Contract: `doc_id` must be castable to long — the standing contract of
+    * the whole minhash/simhash family ([[minhashBandSignatures]],
+    * [[simhashSignatures]] and [[shingleSets]] all cast it); output
+    * src/dst are bigint.
     */
   def lshCandidates(bandsDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val spark = bandsDf.sparkSession
@@ -557,18 +584,24 @@ object Dedup {
       .mapValues(r => (r._3, r._4))
       .agg(agg.name("members"))
       .flatMap { case (_, m) =>
+        // lazy i<j enumeration, same shape as [[lshCandidates]] — a hot
+        // over-cap bucket otherwise buffers ~k²/2 boxed tuples per row
+        // before anything is consumed (round-6 review)
         val n = m.length / 2
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-        var i = 0
-        while (i < n - 1) {
-          var j = i + 1
-          while (j < n) {
-            if (m(2 * i) != m(2 * j)) out += ((m(2 * i), m(2 * j), m(2 * i + 1), m(2 * j + 1)))
-            j += 1
+        new Iterator[(Long, Long, Long, Long)] {
+          private var i = 0
+          private var j = 1
+          private def advance(): Unit = {
+            while (i < n - 1 && (j >= n || m(2 * i) == m(2 * j))) {
+              if (j >= n) { i += 1; j = i + 1 } else j += 1
+            }
           }
-          i += 1
+          advance()
+          override def hasNext: Boolean = i < n - 1 && j < n
+          override def next(): (Long, Long, Long, Long) = {
+            val p = (m(2 * i), m(2 * j), m(2 * i + 1), m(2 * j + 1)); j += 1; advance(); p
+          }
         }
-        out
       }
       .toDF("src", "dst", "sa", "sb")
       .distinct()
@@ -577,45 +610,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Bounded min-k collect of (doc_id, simhash) rows per slice bucket,
-    * ordered by doc_id — [[BoundedMinIds]] with the signature riding as an
-    * interleaved payload (buffer = [id0, sig0, id1, sig1, ...], sorted by
-    * the even slots, capped at k entries = 2k longs). Same map-side-capped
-    * semantics: keeps exactly the k smallest doc_ids of each bucket.
+  /** Bounded min-k collect of (doc_id, simhash) rows per slice bucket
+    * (stride-2 wrapper over [[BoundedSorted]]: buffer =
+    * [id0, sig0, id1, sig1, ...], sorted by the even slots, capped at k
+    * entries = 2k longs). Same map-side-capped semantics: keeps exactly
+    * the k smallest doc_ids of each bucket, signatures riding along.
     */
   final class BoundedMinSigs(k: Int) extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
     override def zero: Array[Long] = Array.emptyLongArray
-    override def reduce(b: Array[Long], r: (Long, Long)): Array[Long] = {
-      val n = b.length / 2
-      val id = r._1
-      if (n >= k && (n == 0 || id >= b(2 * (n - 1)))) return b // full (or k<=0): hot-bucket fast path
-      var lo = 0
-      var hi = n
-      while (lo < hi) { val mid = (lo + hi) >>> 1; if (b(2 * mid) < id) lo = mid + 1 else hi = mid }
-      val outN = math.min(n + 1, k)
-      val out = new Array[Long](2 * outN)
-      System.arraycopy(b, 0, out, 0, 2 * lo)
-      out(2 * lo) = id
-      out(2 * lo + 1) = r._2
-      System.arraycopy(b, 2 * lo, out, 2 * lo + 2, 2 * (outN - lo - 1))
-      out
-    }
-    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
-      if (b2.isEmpty) return b1
-      if (b1.isEmpty) return b2
-      val n1 = b1.length / 2
-      val n2 = b2.length / 2
-      val outN = math.min(n1 + n2, k)
-      val out = new Array[Long](2 * outN)
-      var i = 0; var j = 0; var o = 0
-      while (o < outN) {
-        val take2 = i >= n1 || (j < n2 && b2(2 * j) < b1(2 * i))
-        if (take2) { out(2 * o) = b2(2 * j); out(2 * o + 1) = b2(2 * j + 1); j += 1 }
-        else { out(2 * o) = b1(2 * i); out(2 * o + 1) = b1(2 * i + 1); i += 1 }
-        o += 1
-      }
-      out
-    }
+    override def reduce(b: Array[Long], r: (Long, Long)): Array[Long] =
+      BoundedSorted.insert(b, 2, k, r._1, r._2)
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+      BoundedSorted.merge(b1, b2, 2, k)
     override def finish(r: Array[Long]): Array[Long] = r
     override def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
